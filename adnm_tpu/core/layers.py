@@ -1,0 +1,461 @@
+"""Primitive NN layers (NHWC, channels-last).
+
+TPU-native re-implementations of the reference's primitive blocks
+(reference: models/model_untils.py). All spatial tensors are NHWC so the
+(B, L, D) sequence form used by the mixers is a free reshape of
+(B, H, W, D) — the reference's permute(0,3,1,2) round-trips disappear.
+
+Parameter-shape conventions follow flax (conv kernels HWIO); scalar
+gates (alpha/beta/gamma/scale/shift) are 0-d fp32 params as in the
+reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def scalar_param(mdl: nn.Module, name: str, value: float) -> jax.Array:
+    """A learnable 0-d fp32 scalar (reference: nn.Parameter(torch.tensor(v)))."""
+    return mdl.param(name, lambda _: jnp.asarray(value, jnp.float32))
+
+
+def _norm_stats_cast(x: jax.Array) -> jax.Array:
+    # Normalization statistics in fp32 even under bf16 compute.
+    return x.astype(jnp.float32)
+
+
+class BiasFreeLayerNorm(nn.Module):
+    """LayerNorm with weight but no bias, biased variance, eps=1e-5.
+
+    Reference: models/model_untils.py:29-48 (BiasFree_LayerNorm).
+    """
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = _norm_stats_cast(x)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        out = (xf - mu) * jax.lax.rsqrt(var + self.eps) * w
+        return out.astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    """RMS norm over the last axis (reference: mamba_ssm Triton RMSNorm,
+    imported at models/ADNMUNet.py:28; used as Block norm_layer)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = _norm_stats_cast(x)
+        ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        out = xf * jax.lax.rsqrt(ms + self.eps) * w
+        return out.astype(x.dtype)
+
+
+class GatedRMSNorm(nn.Module):
+    """RMSNorm(x) * silu(z) — the mamba_ssm RMSNormGated
+    (reference: models/ADNssd.py:8). Kept for the fused-gate scan path."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array, z: jax.Array) -> jax.Array:
+        w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = _norm_stats_cast(x) * jax.nn.silu(_norm_stats_cast(z))
+        ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(ms + self.eps) * w).astype(x.dtype)
+
+
+class InstanceNorm(nn.Module):
+    """Per-(sample, channel) normalization over H, W; no affine, eps=1e-5.
+
+    Matches torch nn.InstanceNorm2d defaults (affine=False) used across
+    the reference (e.g. models/model_untils.py:284). Input NHWC.
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = _norm_stats_cast(x)
+        mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with affine, eps=1e-5 (torch nn.GroupNorm defaults;
+    reference: models/model_untils.py:284,371 et al.). Input NHWC."""
+
+    groups: int
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        g = self.groups
+        weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = _norm_stats_cast(x).reshape(b, h, w, g, c // g)
+        mu = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+        xf = (xf - mu) * jax.lax.rsqrt(var + self.eps)
+        return (xf.reshape(b, h, w, c) * weight + bias).astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over (B, H, W) with running stats, eps=1e-5, momentum 0.1
+    (torch defaults; used by the SmaAt/TransUnet baselines, reference:
+    models/SmaAt_UNet.py:73). Cross-replica stats: wrap the train step in
+    shard_map and set ``axis_name`` to psum batch statistics — the TPU
+    equivalent of SyncBatchNorm (reference: train.py:100)."""
+
+    dim: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.dim, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.dim, jnp.float32))
+        if train:
+            xf = _norm_stats_cast(x)
+            reduce_axes = tuple(range(x.ndim - 1))
+            mu = jnp.mean(xf, axis=reduce_axes)
+            mu2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            if self.axis_name is not None:
+                mu = jax.lax.pmean(mu, self.axis_name)
+                mu2 = jax.lax.pmean(mu2, self.axis_name)
+            var = mu2 - jnp.square(mu)
+            n = math.prod([x.shape[a] for a in reduce_axes])
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mu
+                unbiased = var * n / max(n - 1, 1)
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mu, var = ra_mean.value, ra_var.value
+        out = (x.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + self.eps)
+        return (out * weight + bias).astype(x.dtype)
+
+
+class Swish(nn.Module):
+    """x * sigmoid(beta * x) with learnable beta
+    (reference: models/model_untils.py:162-169)."""
+
+    beta_init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        beta = scalar_param(self, "beta", self.beta_init)
+        return x * jax.nn.sigmoid(beta * x)
+
+
+class IntensityGate(nn.Module):
+    """silu(enhance * (x - threshold)) with learnable threshold/enhance
+    (reference: models/model_untils.py:523-532)."""
+
+    threshold_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        threshold = scalar_param(self, "threshold", self.threshold_init)
+        enhance = scalar_param(self, "enhance", 1.0)
+        return jax.nn.silu(enhance * (x - threshold))
+
+
+def _to_pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class Conv2d(nn.Module):
+    """2-D convolution on NHWC with torch-style symmetric padding and
+    torch-default initializers (kaiming-uniform weight, fan-in-uniform
+    bias) so scratch-trained dynamics match the reference's nn.Conv2d."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = (3, 3)
+    stride: Union[int, Tuple[int, int]] = (1, 1)
+    padding: Union[str, int, Tuple[int, int]] = 0
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = _to_pair(self.kernel_size)
+        sh, sw = _to_pair(self.stride)
+        cin = x.shape[-1]
+        fan_in = (cin // self.groups) * kh * kw
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            a = math.sqrt(5.0)
+            gain = math.sqrt(2.0 / (1 + a * a))
+            k_bound = math.sqrt(3.0) * gain / math.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -k_bound, k_bound)
+
+        kernel = self.param("kernel", kernel_init, (kh, kw, cin // self.groups, self.features), jnp.float32)
+        if self.padding == "same" or self.padding == "SAME":
+            pad = "SAME"
+        else:
+            ph, pw = _to_pair(self.padding)
+            pad = [(ph, ph), (pw, pw)]
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(sh, sw),
+            padding=pad,
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape, dt=jnp.float32: jax.random.uniform(key, shape, dt, -bound, bound),
+                (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """Torch-semantics transposed conv on NHWC: out = (in-1)*stride - 2*pad
+    + kernel + output_padding. Implemented as an lhs-dilated conv with a
+    spatially flipped kernel (exactly torch's gradient-of-conv)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]]
+    padding: Union[int, Tuple[int, int]] = 0
+    output_padding: Union[int, Tuple[int, int]] = 0
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = _to_pair(self.kernel_size)
+        sh, sw = _to_pair(self.stride)
+        ph, pw = _to_pair(self.padding)
+        oph, opw = _to_pair(self.output_padding)
+        cin = x.shape[-1]
+        # torch ConvTranspose2d weight is (cin, cout//groups, kh, kw);
+        # fan_in for init uses cout//groups * kh * kw.
+        fan_in = (self.features // self.groups) * kh * kw
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            a = math.sqrt(5.0)
+            gain = math.sqrt(2.0 / (1 + a * a))
+            k_bound = math.sqrt(3.0) * gain / math.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -k_bound, k_bound)
+
+        # Stored as HWIO for the equivalent forward conv: I = cin//groups
+        # input channels contribute to each of `features` outputs.
+        kernel = self.param("kernel", kernel_init, (kh, kw, cin // self.groups, self.features), jnp.float32)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            jnp.flip(kernel, axis=(0, 1)).astype(dtype),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)],
+            lhs_dilation=(sh, sw),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape, dt=jnp.float32: jax.random.uniform(key, shape, dt, -bound, bound),
+                (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
+_NORMS = {
+    None: None,
+    "instance": lambda dim: InstanceNorm(),
+    "group4": lambda dim: GroupNorm(groups=4, dim=dim),
+    "group8": lambda dim: GroupNorm(groups=8, dim=dim),
+    "biasfree_ln": lambda dim: BiasFreeLayerNorm(dim=dim),
+}
+
+_ACTS = {
+    None: None,
+    "gelu": jax.nn.gelu,
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+}
+
+
+class ConvLayer(nn.Module):
+    """conv -> scale*norm(x)+shift -> act
+    (reference: models/model_untils.py:73-93, Conv2dLayer)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = (3, 3)
+    stride: Union[int, Tuple[int, int]] = (1, 1)
+    padding: Union[str, int, Tuple[int, int]] = (1, 1)
+    groups: int = 1
+    use_bias: bool = True
+    norm: Optional[str] = None
+    act: Optional[str] = None
+    act_module: Optional[Callable[[], nn.Module]] = None  # for learnable acts (Swish)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = Conv2d(
+            self.features, self.kernel_size, self.stride, self.padding,
+            self.groups, self.use_bias, self.dtype, name="conv",
+        )(x)
+        if self.norm is not None:
+            scale = scalar_param(self, "scale", 1.0)
+            shift = scalar_param(self, "shift", 0.0)
+            x = scale * _NORMS[self.norm](self.features)(x) + shift
+        if self.act_module is not None:
+            x = self.act_module()(x)
+        elif self.act is not None:
+            x = _ACTS[self.act](x)
+        return x
+
+
+class DeConvLayer(nn.Module):
+    """Transposed-conv upsampling layer with the reference's padding math
+    (reference: models/model_untils.py:120-158, DeConv2dLayer)."""
+
+    features: int
+    ratio: int = 4
+    kernel_size: Tuple[int, int] = (3, 3)
+    groups: int = 1
+    use_bias: bool = True
+    norm: Optional[str] = None
+    act: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size[1]
+        padding_w = max(0, (k - self.ratio + 1) // 2)
+        output_padding_w = self.ratio - k + 2 * padding_w
+        x = ConvTranspose2d(
+            self.features, self.kernel_size, (self.ratio, self.ratio),
+            (padding_w, padding_w), (output_padding_w, output_padding_w),
+            self.groups, self.use_bias, self.dtype, name="trans_conv",
+        )(x)
+        if self.norm is not None:
+            scale = scalar_param(self, "scale", 1.0)
+            shift = scalar_param(self, "shift", 0.0)
+            x = scale * _NORMS[self.norm](self.features)(x) + shift
+        if self.act is not None:
+            x = _ACTS[self.act](x)
+        return x
+
+
+class Dense(nn.Module):
+    """Linear layer with torch-default init (kaiming-uniform weight,
+    fan-in-uniform bias)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        bound = 1.0 / math.sqrt(cin)
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            a = math.sqrt(5.0)
+            gain = math.sqrt(2.0 / (1 + a * a))
+            k_bound = math.sqrt(3.0) * gain / math.sqrt(cin)
+            return jax.random.uniform(key, shape, dtype, -k_bound, k_bound)
+
+        kernel = self.param("kernel", kernel_init, (cin, self.features), jnp.float32)
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype), preferred_element_type=dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape, dt=jnp.float32: jax.random.uniform(key, shape, dt, -bound, bound),
+                (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> fc2 (dropout slots unused, act2 dead in reference)
+    (reference: models/model_untils.py:52-70)."""
+
+    dim: int
+    hidden: Optional[int] = None
+    out: Optional[int] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = self.hidden or self.dim * 2
+        out = self.out or self.dim
+        x = Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x)
+        x = Dense(out, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class FeedForward(nn.Module):
+    """1x1 expand (2*hidden) -> dw 3x3 -> gelu(x1)*sigmoid(x2) gate -> 1x1
+    (reference: models/model_untils.py:172-197). Input NHWC."""
+
+    dim: int
+    expansion: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = int(self.dim * self.expansion)
+        x = ConvLayer(hidden * 2, (1, 1), (1, 1), (0, 0), dtype=self.dtype, name="project_in")(x)
+        x = ConvLayer(hidden * 2, (3, 3), (1, 1), (1, 1), groups=hidden * 2, dtype=self.dtype, name="dwconv")(x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x = jax.nn.gelu(x1) * jax.nn.sigmoid(x2)
+        return ConvLayer(self.dim, (1, 1), (1, 1), (0, 0), dtype=self.dtype, name="project_out")(x)
+
+
+class ConvFFD(nn.Module):
+    """linear expand -> dw 3x3 conv -> GELU -> linear project
+    (reference: models/model_untils.py:199-222). Input NHWC."""
+
+    dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = Dense(self.dim * 2, dtype=self.dtype, name="in_proj")(x)
+        x = ConvLayer(self.dim * 2, 3, 1, 1, groups=self.dim * 2, dtype=self.dtype, name="dw_conv")(x)
+        x = jax.nn.gelu(x)
+        return Dense(self.dim, dtype=self.dtype, name="out_proj")(x)

@@ -1,0 +1,161 @@
+"""Unit tests for core primitives (norms, convs, wavelet)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adnm_tpu.core import layers as L
+from adnm_tpu.core import wavelet as W
+
+
+def rand(key, *shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+class TestNorms:
+    def test_biasfree_layernorm(self):
+        x = rand(0, 2, 7, 16)
+        m = L.BiasFreeLayerNorm(dim=16)
+        y, _ = m.init_with_output(jax.random.PRNGKey(1), x)
+        xn = np.asarray(x)
+        mu = xn.mean(-1, keepdims=True)
+        var = xn.var(-1, keepdims=True)
+        expect = (xn - mu) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(np.asarray(y), expect, atol=1e-5)
+
+    def test_rmsnorm(self):
+        x = rand(2, 3, 16)
+        y, _ = L.RMSNorm(dim=16).init_with_output(jax.random.PRNGKey(1), x)
+        xn = np.asarray(x)
+        expect = xn / np.sqrt((xn**2).mean(-1, keepdims=True) + 1e-6)
+        np.testing.assert_allclose(np.asarray(y), expect, atol=1e-5)
+
+    def test_instance_norm(self):
+        x = rand(3, 2, 8, 8, 4)
+        y, _ = L.InstanceNorm().init_with_output(jax.random.PRNGKey(1), x)
+        yn = np.asarray(y)
+        # per (sample, channel) zero mean / unit var over spatial dims
+        np.testing.assert_allclose(yn.mean(axis=(1, 2)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(yn.var(axis=(1, 2)), 1.0, atol=1e-3)
+
+    def test_group_norm_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        x = rand(4, 2, 6, 6, 8)
+        y, _ = L.GroupNorm(groups=4, dim=8).init_with_output(jax.random.PRNGKey(1), x)
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        yt = torch.nn.functional.group_norm(xt, 4, torch.ones(8), torch.zeros(8), eps=1e-5)
+        np.testing.assert_allclose(np.asarray(y), yt.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+class TestConvs:
+    def test_conv_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        x = rand(5, 2, 9, 9, 6)
+        m = L.Conv2d(features=8, kernel_size=3, stride=1, padding=1)
+        params = m.init(jax.random.PRNGKey(2), x)
+        y = m.apply(params, x)
+        k = np.asarray(params["params"]["kernel"])  # HWIO
+        b = np.asarray(params["params"]["bias"])
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        wt = torch.from_numpy(k).permute(3, 2, 0, 1)  # OIHW
+        yt = torch.nn.functional.conv2d(xt, wt, torch.from_numpy(b), padding=1)
+        np.testing.assert_allclose(np.asarray(y), yt.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+    def test_grouped_conv_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        x = rand(6, 2, 8, 8, 8)
+        m = L.Conv2d(features=8, kernel_size=(1, 3), padding=(0, 1), groups=8)
+        params = m.init(jax.random.PRNGKey(2), x)
+        y = m.apply(params, x)
+        k = np.asarray(params["params"]["kernel"])
+        b = np.asarray(params["params"]["bias"])
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        wt = torch.from_numpy(k).permute(3, 2, 0, 1)
+        yt = torch.nn.functional.conv2d(xt, wt, torch.from_numpy(b), padding=(0, 1), groups=8)
+        np.testing.assert_allclose(np.asarray(y), yt.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+    def test_conv_transpose_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        # the UpSample config: kernel 3, stride 2, padding 1, output_padding 1
+        x = rand(7, 2, 8, 8, 4)
+        m = L.ConvTranspose2d(features=4, kernel_size=3, stride=2, padding=1, output_padding=1)
+        params = m.init(jax.random.PRNGKey(3), x)
+        y = m.apply(params, x)
+        assert y.shape == (2, 16, 16, 4)
+        k = np.asarray(params["params"]["kernel"])  # HWIO (I=cin, O=cout)
+        b = np.asarray(params["params"]["bias"])
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        # torch convT weight: (cin, cout, kh, kw)
+        wt = torch.from_numpy(k).permute(2, 3, 0, 1)
+        yt = torch.nn.functional.conv_transpose2d(
+            xt, wt, torch.from_numpy(b), stride=2, padding=1, output_padding=1
+        )
+        np.testing.assert_allclose(np.asarray(y), yt.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+    def test_deconv_layer_doubles_resolution(self):
+        x = rand(8, 1, 8, 8, 4)
+        m = L.DeConvLayer(features=4, ratio=2, kernel_size=(3, 3))
+        y, _ = m.init_with_output(jax.random.PRNGKey(4), x)
+        assert y.shape == (1, 16, 16, 4)
+
+    def test_deconv_layer_ratio4(self):
+        x = rand(9, 1, 4, 4, 4)
+        m = L.DeConvLayer(features=4, ratio=4, kernel_size=(3, 3))
+        y, _ = m.init_with_output(jax.random.PRNGKey(4), x)
+        assert y.shape == (1, 16, 16, 4)
+
+
+class TestWavelet:
+    def test_haar_roundtrip(self):
+        x = rand(10, 2, 16, 16, 3)
+        y = W.haar_idwt(W.haar_dwt(x))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+    def test_haar_energy(self):
+        # orthonormal transform preserves energy
+        x = rand(11, 1, 8, 8, 2)
+        sub = W.haar_dwt(x)
+        np.testing.assert_allclose(
+            float(jnp.sum(x**2)), float(jnp.sum(sub**2)), rtol=1e-5
+        )
+
+    def test_haar_subband_order(self):
+        # constant image -> only LL nonzero
+        x = jnp.ones((1, 4, 4, 1))
+        sub = W.haar_dwt(x)
+        np.testing.assert_allclose(np.asarray(sub[..., 0]), 2.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sub[..., 1:]), 0.0, atol=1e-6)
+        # vertical gradient (varies along H) -> HL band nonzero, LH zero
+        g = jnp.broadcast_to(jnp.arange(4.0)[None, :, None, None], (1, 4, 4, 1))
+        sub = W.haar_dwt(g)
+        assert float(jnp.abs(sub[..., 1]).sum()) > 0.1  # H-high
+        np.testing.assert_allclose(np.asarray(sub[..., 2]), 0.0, atol=1e-6)  # W-high
+
+    def test_wtconv_shape_and_odd_sizes(self):
+        x = rand(12, 2, 17, 17, 4)  # odd spatial dims exercise padding
+        m = W.WTConv2d(channels=4, kernel_size=5, wt_levels=3)
+        y, _ = m.init_with_output(jax.random.PRNGKey(5), x)
+        assert y.shape == x.shape
+
+    def test_wtconv_stride(self):
+        x = rand(13, 1, 16, 16, 4)
+        m = W.WTConv2d(channels=4, kernel_size=3, stride=2, wt_levels=2)
+        y, _ = m.init_with_output(jax.random.PRNGKey(5), x)
+        assert y.shape == (1, 8, 8, 4)
+
+
+class TestBlocks:
+    def test_feedforward(self):
+        x = rand(14, 2, 8, 8, 16)
+        m = L.FeedForward(dim=16)
+        y, _ = m.init_with_output(jax.random.PRNGKey(6), x)
+        assert y.shape == x.shape
+
+    def test_mlp_convffd(self):
+        x = rand(15, 2, 8, 8, 16)
+        y, _ = L.ConvFFD(dim=16).init_with_output(jax.random.PRNGKey(7), x)
+        assert y.shape == x.shape
+        xs = x.reshape(2, 64, 16)
+        y2, _ = L.Mlp(dim=16).init_with_output(jax.random.PRNGKey(8), xs)
+        assert y2.shape == xs.shape
