@@ -1,0 +1,74 @@
+"""Batch loader with background prefetch (replaces torch DataLoader,
+reference: train.py:55-57).
+
+Host-side: a thread pool assembles (B, T, 1, S, S) float32 batches ahead
+of consumption (double-buffered), so h5 reads/resizes overlap device
+compute. Device placement/sharding is the trainer's job (device_put with
+a NamedSharding over the batch axis).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        nb = len(self)
+        for i in range(nb):
+            yield order[i * self.batch_size : (i + 1) * self.batch_size]
+
+    def _make_batch(self, idxs) -> np.ndarray:
+        clips = [self.dataset[int(i)] for i in idxs]
+        batch = np.stack(clips)[:, :, None]  # (B, T, 1, S, S)
+        return np.ascontiguousarray(batch, np.float32)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        batches = list(self._index_batches())
+
+        def worker():
+            for idxs in batches:
+                q.put(self._make_batch(idxs))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is None:
+                return
+            yield b
