@@ -1,0 +1,61 @@
+"""Shared CLI plumbing (replaces the reference's edit-the-source
+configuration, train.py:23-66, with flags)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+
+from adnm_tpu.data import BatchLoader, make_datasets
+from adnm_tpu.models import MODEL_NAMES, create_model
+from adnm_tpu.train import Trainer, get_preset
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--model", default="ADNMUnet", choices=list(MODEL_NAMES))
+    p.add_argument("--dataset", default="Shanghai", choices=["Shanghai", "LAPS"])
+    p.add_argument("--data-path", default=os.environ.get("ADNM_DATA", "datasets/shanghai.h5"))
+    p.add_argument("--synthetic", action="store_true", help="use the synthetic dataset (no h5 needed)")
+    p.add_argument("--synthetic-len", type=int, default=64)
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--root", default=os.environ.get("ADNM_ROOT", "runs"),
+                   help="output root for model_params/ and results/ (reference: config.py:5)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all local devices")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def task_shape(args):
+    """(input_frames, output_frames, frame_interval, thresholds) per
+    dataset (reference: train.py:40-66)."""
+    if args.dataset == "LAPS":
+        return 5, 3, 60, (0.1, 0.3, 0.5, 0.7, 0.8)
+    return 5, 20, 6, (20, 30, 35, 40)
+
+
+def build(args, need_loaders=True):
+    input_frames, output_frames, frame_interval, thresholds = task_shape(args)
+    mesh = None
+    if args.data_parallel:
+        devs = jax.devices()
+        mesh = jax.sharding.Mesh(devs, ("data",))
+    model = create_model(args.model, input_frames, output_frames, frame_interval, img_size=args.img_size)
+    preset = get_preset(args.model, input_frames, output_frames, frame_interval, args.dataset)
+    trainer = Trainer(
+        model, preset, input_frames, output_frames,
+        img_size=args.img_size, mesh=mesh, seed=args.seed,
+    )
+    loaders = None
+    if need_loaders:
+        data_path = None if args.synthetic else args.data_path
+        tr, va, te = make_datasets(data_path, args.img_size, synthetic_len=args.synthetic_len)
+        loaders = (
+            BatchLoader(tr, args.batch_size, shuffle=True, seed=args.seed),
+            BatchLoader(va, args.batch_size, drop_last=False),
+            BatchLoader(te, args.batch_size, drop_last=False),
+        )
+    return trainer, loaders, (input_frames, output_frames, frame_interval, thresholds)

@@ -1,0 +1,51 @@
+"""Train entry point (reference: train.py; `python -m adnm_tpu.cli.train`).
+
+Ends with the reference's final protocol: reload best checkpoint, run the
+test split, and print per-threshold CSI/HSS plus FAR/RMSE/SSIM/LPIPS
+(train.py:209-250).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from adnm_tpu.cli.common import add_common_args, build, task_shape
+from adnm_tpu.metrics import SimplifiedEvaluator
+from adnm_tpu.train.checkpoint import best_ckpt_dir
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("adnm-train")
+    add_common_args(p)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--no-final-eval", action="store_true")
+    args = p.parse_args(argv)
+
+    trainer, (train_loader, val_loader, test_loader), (ti, to, _, thresholds) = build(args)
+    ckpt_path = best_ckpt_dir(args.root, args.dataset, args.model)
+    print(f"model {args.model}  params "
+          f"{sum(x.size for x in __import__('jax').tree.leaves(trainer.state.params)):,}")
+    trainer.fit(train_loader, val_loader, test_loader, epochs=args.epochs, ckpt_path=ckpt_path)
+
+    if args.no_final_eval:
+        return
+    print("-----------------test best-----------------")
+    if os.path.exists(ckpt_path):
+        trainer.load(ckpt_path)
+    test_loss, preds, gts = trainer.eval_epoch(test_loader, collect=True)
+    print(f"best-checkpoint test loss: {test_loss}")
+    evaluator = SimplifiedEvaluator(seq_len=to, value_scale=90, thresholds=list(thresholds))
+    evaluator.evaluate(preds, gts)  # reference orientation (train.py:241)
+    results = evaluator.done()
+    for thresh, m in results["threshold_metrics"].items():
+        print(f"{thresh}mm CSI: {m['CSI']:.4f} HSS: {m['HSS']:.4f}")
+    print("\nOverall Metrics:")
+    print(f"FAR:  {results['FAR']:.4f}")
+    print(f"RMSE: {results['RMSE']:.2f}")
+    print(f"SSIM: {results['SSIM']:.4f}")
+    print(f"LPIPS: {results['LPIPS']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Training driver (reference: train.py:107-250).
+
+One jitted, donated train step per batch; LR and the adaptive grad-clip
+threshold are host-side scalars fed into the step (no retraces, matching
+the reference's per-epoch Python schedules, train.py:122-130,186-191).
+
+Distribution: with a Mesh, the batch axis is sharded over 'data' via
+NamedSharding and params are replicated — XLA inserts the gradient
+all-reduce and computes global BatchNorm statistics automatically (the
+DataParallel + SyncBatchNorm equivalent, reference train.py:99-102).
+
+Documented fix vs reference: the reference's val loop iterates
+val_dataloader but re-evaluates the last *training* batch each time
+(train.py:159-160); here validation actually consumes the val batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from flax.core import FrozenDict
+
+from adnm_tpu.train import checkpoint as ckpt
+from adnm_tpu.train.presets import TrainPreset
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    batch_stats: Any  # {} for models without BN
+
+
+@dataclasses.dataclass
+class EpochLog:
+    epoch: int
+    train_loss: float
+    val_loss: float
+    test_loss: float
+    lr: float
+    grad_norm_avg: float
+    clip_threshold: float
+    clip_ratio: float
+    seconds: float
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        preset: TrainPreset,
+        input_frames: int,
+        output_frames: int,
+        img_size: int = 256,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        seed: int = 0,
+        compute_dtype: Any = jnp.float32,
+    ):
+        self.model = model
+        self.preset = preset
+        self.input_frames = input_frames
+        self.output_frames = output_frames
+        self.img_size = img_size
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.tx = preset.make_optimizer()
+
+        sample = jnp.zeros((1, input_frames + output_frames, 1, img_size, img_size), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(seed), sample[:, :input_frames], train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.state = TrainState(params=params, opt_state=self.tx.init(params), batch_stats=batch_stats)
+
+        if mesh is not None:
+            self.batch_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data")
+            )
+            rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            self.state = jax.device_put(self.state, rep)
+        else:
+            self.batch_sharding = None
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ---- jitted impls -------------------------------------------------
+
+    def _apply(self, params, batch_stats, imgs, train):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            if train:
+                out, mut = self.model.apply(
+                    variables, imgs, train=True, mutable=["batch_stats"]
+                )
+                return out, mut["batch_stats"]
+            return self.model.apply(variables, imgs, train=False), batch_stats
+        return self.model.apply(variables, imgs, train=train), batch_stats
+
+    def _train_step_impl(self, state: TrainState, batch, lr, clip_norm):
+        imgs = batch[:, : self.input_frames].astype(self.compute_dtype)
+        targets = batch[:, self.input_frames :]
+
+        def loss_fn(params):
+            out, new_bs = self._apply(params, state.batch_stats, imgs, True)
+            loss = self.preset.loss_fn(out.astype(jnp.float32), targets)
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        gnorm = optax_global_norm(grads)
+        if self.preset.norm_clip:
+            scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        opt_state = set_lr(state.opt_state, lr)
+        updates, opt_state = self.tx.update(grads, opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return TrainState(params, opt_state, new_bs), loss, gnorm
+
+    def _eval_step_impl(self, state: TrainState, batch):
+        imgs = batch[:, : self.input_frames].astype(self.compute_dtype)
+        targets = batch[:, self.input_frames :]
+        out, _ = self._apply(state.params, state.batch_stats, imgs, False)
+        out = out.astype(jnp.float32)
+        loss = self.preset.loss_fn(out, targets)
+        return loss, out
+
+    # ---- host-side loop ----------------------------------------------
+
+    def _put(self, batch: np.ndarray) -> jax.Array:
+        if self.batch_sharding is not None:
+            return jax.device_put(batch, self.batch_sharding)
+        return jnp.asarray(batch)
+
+    def train_epoch(self, loader, lr: float, clip_norm: float) -> Dict[str, float]:
+        total_loss = 0.0
+        total_gnorm = 0.0
+        clip_count = 0
+        n = 0
+        for batch in loader:
+            self.state, loss, gnorm = self._train_step(
+                self.state, self._put(batch), jnp.float32(lr), jnp.float32(clip_norm)
+            )
+            loss_v = float(loss)
+            gnorm_v = float(gnorm)
+            total_loss += loss_v
+            total_gnorm += gnorm_v
+            if self.preset.norm_clip and gnorm_v > clip_norm:
+                clip_count += 1
+            n += 1
+        return {
+            "loss": total_loss,
+            "avg_grad_norm": total_gnorm / max(n, 1),
+            "clip_ratio": clip_count / max(n, 1),
+        }
+
+    def eval_epoch(self, loader, collect: bool = False):
+        total = 0.0
+        gts, preds = [], []
+        for batch in loader:
+            loss, out = self._eval_step(self.state, self._put(batch))
+            total += float(loss)
+            if collect:
+                preds.append(np.asarray(out)[:, :, 0])
+                gts.append(np.asarray(batch[:, self.input_frames :, 0]))
+        if collect:
+            if not preds:
+                return total, np.zeros((0,)), np.zeros((0,))
+            return total, np.concatenate(preds), np.concatenate(gts)
+        return total, None, None
+
+    def fit(
+        self,
+        train_loader,
+        val_loader,
+        test_loader=None,
+        epochs: Optional[int] = None,
+        ckpt_path: Optional[str] = None,
+        log_fn: Callable[[str], None] = print,
+        eval_test_each_epoch: bool = True,
+    ):
+        preset = self.preset
+        epochs = epochs or preset.epochs
+        best = float("inf")
+        prev_avg_grad_norm = 0.0
+        early_stop_count = 0
+        logs = []
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            if preset.lr_at_epoch is not None:
+                lr = preset.lr_at_epoch(epoch, epochs)
+            else:
+                # poly decay, stepped at epoch end in the reference
+                # (train.py:188-191) so epoch e trains at the (e-1) value
+                lr = preset.base_lr * (1.0 - (epoch - 1) / epochs) ** 0.9
+            clip_norm = (
+                preset.clip_schedule.threshold(epoch, prev_avg_grad_norm)
+                if preset.norm_clip
+                else 0.0
+            )
+            tr = self.train_epoch(train_loader, lr, clip_norm)
+            prev_avg_grad_norm = tr["avg_grad_norm"]
+
+            val_loss, _, _ = self.eval_epoch(val_loader)
+            save_gate = (not preset.save_epoch_gated) or (epoch > preset.save_epoch)
+            if save_gate and val_loss < best:
+                best = val_loss
+                early_stop_count = 0
+                if ckpt_path:
+                    ckpt.save_state(ckpt_path, self.state)
+                log_fn(f"epoch {epoch}: best_val_loss {val_loss:.6f} (saved)")
+            else:
+                if preset.if_early_stop and save_gate:
+                    early_stop_count += 1
+                log_fn(f"epoch {epoch}: val_loss {val_loss:.6f}")
+
+            test_loss = 0.0
+            if test_loader is not None and eval_test_each_epoch:
+                test_loss, _, _ = self.eval_epoch(test_loader)
+
+            dt = time.time() - t0
+            logs.append(
+                EpochLog(epoch, tr["loss"], val_loss, test_loss, lr,
+                         tr["avg_grad_norm"], clip_norm, tr["clip_ratio"], dt)
+            )
+            log_fn(
+                f"epoch {epoch}: train_loss {tr['loss']:.6f} test_loss {test_loss:.6f} "
+                f"lr {lr:.2e} grad_norm {tr['avg_grad_norm']:.4f} "
+                f"clip_thr {clip_norm:.4f} clip_ratio {tr['clip_ratio']:.3f} ({dt:.1f}s)"
+            )
+            if preset.if_early_stop and preset.early_stop and early_stop_count >= preset.early_stop:
+                log_fn(f"early stop at epoch {epoch}")
+                break
+        return logs
+
+    def load(self, ckpt_path: str):
+        self.state = ckpt.restore_state(ckpt_path, self.state)
+        if self.mesh is not None:
+            rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+            self.state = jax.device_put(self.state, rep)
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def set_lr(opt_state, lr):
+    """Update the injected learning_rate hyperparam in-place."""
+    if hasattr(opt_state, "hyperparams"):
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return opt_state._replace(hyperparams=hp)
+    return opt_state
