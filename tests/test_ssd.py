@@ -1,0 +1,112 @@
+"""SSD scan op correctness + mixer shape tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adnm_tpu.ops.ssd import linear_attn_dual, ssd_chunked_scan, ssd_naive_scan
+
+
+def _inputs(key=0, b=2, l=32, h=4, p=4, n=8):
+    ks = jax.random.split(jax.random.PRNGKey(key), 5)
+    x = jax.random.normal(ks[0], (b, l, h, p))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (b, l, h)))
+    A = -jnp.exp(jax.random.uniform(ks[2], (h,), minval=0.0, maxval=1.5))
+    B = jax.random.normal(ks[3], (b, l, n))
+    C = jax.random.normal(ks[4], (b, l, n))
+    D = jnp.ones((h,))
+    return x, dt, A, B, C, D
+
+
+class TestLinearAttnDual:
+    def test_matches_explicit_einsum(self):
+        x, dt, A, B, C, D = _inputs(0)
+        y = linear_attn_dual(x, dt, A, B, C, D, positive_dA=True)
+        # explicit O(L^2) non-causal form: y_t = sum_s (C_t.B_s) x_s dA_s + D x_t
+        dA = -(dt * A)
+        att = np.einsum("btn,bsn->bts", C, B)
+        expect = np.einsum("bts,bshp,bsh->bthp", att, x, dA) + np.asarray(x) * np.asarray(D)[None, None, :, None]
+        np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
+
+
+class TestChunkedScan:
+    def test_matches_naive(self):
+        x, dt, A, B, C, D = _inputs(1)
+        y_naive = ssd_naive_scan(x, dt, A, B, C, D)
+        y_chunk = ssd_chunked_scan(x, dt, A, B, C, D, chunk_size=8)
+        np.testing.assert_allclose(np.asarray(y_chunk), np.asarray(y_naive), rtol=1e-4, atol=1e-4)
+
+    def test_single_chunk_equals_naive(self):
+        x, dt, A, B, C, D = _inputs(2, l=16)
+        y_naive = ssd_naive_scan(x, dt, A, B, C, D)
+        y_chunk = ssd_chunked_scan(x, dt, A, B, C, D, chunk_size=16)
+        np.testing.assert_allclose(np.asarray(y_chunk), np.asarray(y_naive), rtol=1e-4, atol=1e-4)
+
+    def test_causality(self):
+        # perturbing a late token must not change earlier outputs
+        x, dt, A, B, C, D = _inputs(3)
+        y0 = ssd_chunked_scan(x, dt, A, B, C, D, chunk_size=8)
+        x2 = x.at[:, 20].add(10.0)
+        y1 = ssd_chunked_scan(x2, dt, A, B, C, D, chunk_size=8)
+        np.testing.assert_allclose(np.asarray(y0[:, :20]), np.asarray(y1[:, :20]), atol=1e-5)
+        assert np.abs(np.asarray(y0[:, 20:]) - np.asarray(y1[:, 20:])).max() > 1e-3
+
+    def test_grad_flows(self):
+        x, dt, A, B, C, D = _inputs(4, l=16)
+
+        def f(x):
+            return jnp.sum(ssd_chunked_scan(x, dt, A, B, C, D, chunk_size=8) ** 2)
+
+        g = jax.grad(f)(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestMixers:
+    def test_adnssd_shapes_duality(self):
+        from adnm_tpu.mixers import ADNSSDMixer
+
+        m = ADNSSDMixer(d_model=16, headdim=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+        y, _ = m.init_with_output(jax.random.PRNGKey(1), x)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_adnssd_shapes_bimamba(self):
+        from adnm_tpu.mixers import ADNSSDMixer
+
+        m = ADNSSDMixer(d_model=16, headdim=4, linear_attn_duality=False, chunk_size=16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 16))
+        y, _ = m.init_with_output(jax.random.PRNGKey(1), x)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_vssd_shapes(self):
+        from adnm_tpu.mixers import VSSDMixer
+
+        m = VSSDMixer(d_model=16, headdim=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 16))
+        y, _ = m.init_with_output(jax.random.PRNGKey(1), x)
+        assert y.shape == x.shape
+        m2 = VSSDMixer(d_model=16, headdim=4, linear_attn_duality=False, chunk_size=16)
+        y2, _ = m2.init_with_output(jax.random.PRNGKey(1), x)
+        assert y2.shape == x.shape
+
+    def test_standard_attention(self):
+        from adnm_tpu.mixers import StandardAttention
+
+        m = StandardAttention(dim=32, heads=8, dim_head=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 32))
+        y, _ = m.init_with_output(jax.random.PRNGKey(1), x)
+        assert y.shape == x.shape
+
+    def test_mla(self):
+        from adnm_tpu.mixers import MLA, generate_mla_config
+
+        cfg = generate_mla_config(64)
+        cfg.pop("hidden_size")
+        m = MLA(hidden_size=64, **{k: v for k, v in cfg.items() if k in (
+            "num_heads", "q_lora_rank", "kv_lora_rank", "qk_rope_head_dim",
+            "qk_nope_head_dim", "v_head_dim", "rope_theta", "attention_bias")})
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64))
+        y, _ = m.init_with_output(jax.random.PRNGKey(1), x)
+        assert y.shape == x.shape
