@@ -45,9 +45,15 @@ def build(args, need_loaders=True):
         mesh = jax.sharding.Mesh(devs, ("data",))
     model = create_model(args.model, input_frames, output_frames, frame_interval, img_size=args.img_size)
     preset = get_preset(args.model, input_frames, output_frames, frame_interval, args.dataset)
+    param_transform = None
+    if args.model == "ADNMUnet":
+        from adnm_tpu.models.adnm_unet import apply_reference_init
+
+        param_transform = apply_reference_init
     trainer = Trainer(
         model, preset, input_frames, output_frames,
         img_size=args.img_size, mesh=mesh, seed=args.seed,
+        param_transform=param_transform,
     )
     loaders = None
     if need_loaders:

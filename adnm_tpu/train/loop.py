@@ -60,6 +60,7 @@ class Trainer:
         mesh: Optional[jax.sharding.Mesh] = None,
         seed: int = 0,
         compute_dtype: Any = jnp.float32,
+        param_transform: Optional[Callable] = None,
     ):
         self.model = model
         self.preset = preset
@@ -71,8 +72,12 @@ class Trainer:
         self.tx = preset.make_optimizer()
 
         sample = jnp.zeros((1, input_frames + output_frames, 1, img_size, img_size), jnp.float32)
-        variables = model.init(jax.random.PRNGKey(seed), sample[:, :input_frames], train=True)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(seed), sample[:, :input_frames], train=True
+        )
         params = variables["params"]
+        if param_transform is not None:
+            params = param_transform(params, jax.random.PRNGKey(seed + 1))
         batch_stats = variables.get("batch_stats", {})
         self.state = TrainState(params=params, opt_state=self.tx.init(params), batch_stats=batch_stats)
 
