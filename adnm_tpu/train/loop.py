@@ -34,6 +34,7 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     batch_stats: Any  # {} for models without BN
+    step: Any = struct.field(default=None)  # int32 scalar; drives dropout rng
 
 
 @dataclasses.dataclass
@@ -72,14 +73,19 @@ class Trainer:
         self.tx = preset.make_optimizer()
 
         sample = jnp.zeros((1, input_frames + output_frames, 1, img_size, img_size), jnp.float32)
+        init_rngs = {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 7)}
         variables = jax.jit(model.init, static_argnames=("train",))(
-            jax.random.PRNGKey(seed), sample[:, :input_frames], train=True
+            init_rngs, sample[:, :input_frames], train=True
         )
         params = variables["params"]
         if param_transform is not None:
             params = param_transform(params, jax.random.PRNGKey(seed + 1))
         batch_stats = variables.get("batch_stats", {})
-        self.state = TrainState(params=params, opt_state=self.tx.init(params), batch_stats=batch_stats)
+        self._base_rng = jax.random.PRNGKey(seed + 13)
+        self.state = TrainState(
+            params=params, opt_state=self.tx.init(params),
+            batch_stats=batch_stats, step=jnp.zeros((), jnp.int32),
+        )
 
         if mesh is not None:
             self.batch_sharding = jax.sharding.NamedSharding(
@@ -95,24 +101,26 @@ class Trainer:
 
     # ---- jitted impls -------------------------------------------------
 
-    def _apply(self, params, batch_stats, imgs, train):
+    def _apply(self, params, batch_stats, imgs, train, rngs=None):
         variables = {"params": params}
+        kwargs = {"rngs": rngs} if (train and rngs is not None) else {}
         if batch_stats:
             variables["batch_stats"] = batch_stats
             if train:
                 out, mut = self.model.apply(
-                    variables, imgs, train=True, mutable=["batch_stats"]
+                    variables, imgs, train=True, mutable=["batch_stats"], **kwargs
                 )
                 return out, mut["batch_stats"]
             return self.model.apply(variables, imgs, train=False), batch_stats
-        return self.model.apply(variables, imgs, train=train), batch_stats
+        return self.model.apply(variables, imgs, train=train, **kwargs), batch_stats
 
     def _train_step_impl(self, state: TrainState, batch, lr, clip_norm):
         imgs = batch[:, : self.input_frames].astype(self.compute_dtype)
         targets = batch[:, self.input_frames :]
+        rngs = {"dropout": jax.random.fold_in(self._base_rng, state.step)}
 
         def loss_fn(params):
-            out, new_bs = self._apply(params, state.batch_stats, imgs, True)
+            out, new_bs = self._apply(params, state.batch_stats, imgs, True, rngs)
             loss = self.preset.loss_fn(out.astype(jnp.float32), targets)
             return loss, new_bs
 
@@ -124,7 +132,7 @@ class Trainer:
         opt_state = set_lr(state.opt_state, lr)
         updates, opt_state = self.tx.update(grads, opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        return TrainState(params, opt_state, new_bs), loss, gnorm
+        return TrainState(params, opt_state, new_bs, state.step + 1), loss, gnorm
 
     def _eval_step_impl(self, state: TrainState, batch):
         imgs = batch[:, : self.input_frames].astype(self.compute_dtype)

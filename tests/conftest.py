@@ -3,15 +3,21 @@
 This is the standard JAX fake-mesh technique for testing multi-device
 sharding without hardware (replacing the reference's implicit
 single-process DataParallel, train.py:99-102).
+
+Note: this environment's axon sitecustomize pins jax_platforms at
+import, so the env var alone is not enough — we override via jax.config
+after import. Set ADNM_TEST_PLATFORM=axon to run the suite on the real
+TPU chip instead (single device; multi-device tests self-skip).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = os.environ.get("ADNM_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_default_matmul_precision", "highest")
