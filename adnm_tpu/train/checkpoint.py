@@ -5,6 +5,10 @@ Improvements over the reference (documented, not parity-breaking):
 optimizer state and batch stats are saved alongside params, enabling
 true resume; the reference saves params only. Path scheme mirrors the
 reference: {root}/model_params/{dataset}/{model}/{model}_best.
+
+States are stored as a flat top-level dict of the TrainState fields so
+layouts can evolve: restore intersects the checkpoint's top-level keys
+with the target's and keeps target values for anything missing.
 """
 
 from __future__ import annotations
@@ -20,14 +24,42 @@ def best_ckpt_dir(root: str, dataset: str, model_name: str) -> str:
     return os.path.join(root, "model_params", dataset, model_name, f"{model_name}_best")
 
 
+def _to_tree(state: Any) -> dict:
+    if hasattr(state, "params"):
+        tree = {"params": state.params, "opt_state": state.opt_state}
+        if state.batch_stats:
+            tree["batch_stats"] = state.batch_stats
+        if state.step is not None:
+            tree["step"] = state.step
+        return tree
+    return state
+
+
 def save_state(path: str, state: Any) -> None:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.save(path, jax.device_get(_to_tree(state)), force=True)
     ckptr.wait_until_finished()
 
 
 def restore_state(path: str, target: Any) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=jax.device_get(target))
+    tgt_tree = jax.device_get(_to_tree(target))
+    try:
+        meta = ckptr.metadata(path)
+        avail = set(meta.item_metadata.keys() if hasattr(meta, "item_metadata") else meta.keys())
+    except Exception:
+        avail = set(tgt_tree.keys())
+    sub_tgt = {k: v for k, v in tgt_tree.items() if k in avail}
+    restored = ckptr.restore(path, target=sub_tgt)
+    merged = dict(tgt_tree)
+    merged.update(restored)
+    if hasattr(target, "params"):
+        return type(target)(
+            params=merged["params"],
+            opt_state=merged["opt_state"],
+            batch_stats=merged.get("batch_stats", target.batch_stats),
+            step=merged.get("step", target.step),
+        )
+    return merged

@@ -1,0 +1,3 @@
+from adnm_tpu.utils.profiling import profile_trace, step_timer, estimate_flops
+from adnm_tpu.utils.logging import MetricsLogger
+from adnm_tpu.utils.debug import enable_nan_debugging
