@@ -58,19 +58,25 @@ class TrainPreset:
     adam_eps: float = 1e-8
 
     def make_optimizer(self) -> optax.GradientTransformation:
-        """Optimizer with injected LR (the loop sets it per epoch)."""
+        """Optimizer with injected LR (the loop sets it per epoch).
+
+        Wrapped in optax.flatten: the update runs on ONE raveled vector
+        instead of ~1800 leaves — on TPU the per-leaf op overhead
+        dominated the step (measured 17ms of a 21ms ADNM train step)."""
         if self.opt_family == "adamw":
-            return optax.inject_hyperparams(optax.adamw)(
+            inner = optax.inject_hyperparams(optax.adamw)(
                 learning_rate=self.base_lr, b1=0.9, b2=0.999,
                 eps=self.adam_eps, weight_decay=self.weight_decay,
             )
-        if self.opt_family == "adam":
-            return optax.inject_hyperparams(optax.adam)(learning_rate=self.base_lr)
-        if self.opt_family == "sgd":
-            return optax.inject_hyperparams(_sgd_torch)(
+        elif self.opt_family == "adam":
+            inner = optax.inject_hyperparams(optax.adam)(learning_rate=self.base_lr)
+        elif self.opt_family == "sgd":
+            inner = optax.inject_hyperparams(_sgd_torch)(
                 learning_rate=self.base_lr, momentum=self.momentum, weight_decay=self.weight_decay
             )
-        raise ValueError(self.opt_family)
+        else:
+            raise ValueError(self.opt_family)
+        return optax.flatten(inner)
 
 
 def _sgd_torch(learning_rate, momentum=0.0, weight_decay=0.0):
