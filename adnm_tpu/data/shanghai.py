@@ -113,6 +113,11 @@ class ShanghaiDataset:
         if self._h5 is None:
             self._h5 = h5py.File(self.data_path, "r")
         imgs = self._h5["train"][str(raw_index)][()]  # (25, 565, 784) uint8
+        from adnm_tpu.data.native import decode_resize_clip
+
+        native = decode_resize_clip(imgs, self.img_size)
+        if native is not None:
+            return native
         frames = imgs.astype(np.float32) / 255.0
         return _resize_bilinear_antialias(frames, self.img_size)
 
