@@ -58,7 +58,12 @@ def build(args, need_loaders=True):
     loaders = None
     if need_loaders:
         data_path = None if args.synthetic else args.data_path
-        tr, va, te = make_datasets(data_path, args.img_size, synthetic_len=args.synthetic_len)
+        if args.dataset == "LAPS":
+            from adnm_tpu.data.laps import make_laps_datasets
+
+            tr, va, te = make_laps_datasets(data_path, args.img_size, synthetic_len=args.synthetic_len)
+        else:
+            tr, va, te = make_datasets(data_path, args.img_size, synthetic_len=args.synthetic_len)
         loaders = (
             BatchLoader(tr, args.batch_size, shuffle=True, seed=args.seed),
             BatchLoader(va, args.batch_size, drop_last=False),

@@ -35,6 +35,11 @@ def main(argv=None):
         trainer.load(ckpt_path)
     test_loss, preds, gts = trainer.eval_epoch(test_loader, collect=True)
     print(f"best-checkpoint test loss: {test_loss}")
+    if args.dataset == "LAPS":
+        from adnm_tpu.data.laps import laps_evaluate
+
+        laps_evaluate(preds, gts, thresholds)  # reference orientation (train.py:235)
+        return
     evaluator = SimplifiedEvaluator(seq_len=to, value_scale=90, thresholds=list(thresholds))
     evaluator.evaluate(preds, gts)  # reference orientation (train.py:241)
     results = evaluator.done()
