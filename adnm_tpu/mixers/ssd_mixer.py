@@ -6,11 +6,17 @@ Reference: models/ADNssd.py:49-462 (Mamba2). Per token grid
   1. in_proj -> [z | xBC | dt] (ADNssd.py:100-101,309,315-317).
   2. Dual path: the reference splits xBC channels by even/odd index with
      gather ops (ADNssd.py:329-364) — hostile to TPU tiling. Because
-     in_proj/out_proj are learned from scratch, that interleave is a
-     fixed channel permutation absorbable into the adjacent weight
+     in_proj/out_proj are learned from scratch, the even/odd interleave
+     is a fixed channel permutation absorbable into the adjacent weight
      matrices, so this implementation lays the two paths out as
-     CONTIGUOUS halves (path1 == "even", path2 == "odd"): no gathers,
-     no scatter re-interleave, identical function class.
+     CONTIGUOUS halves (path1 == "even", path2 == "odd"): no gathers, no
+     scatter re-interleave. Path1 and the overall structure are exactly
+     permutation-equivalent; within path2, the reference's re-interleave
+     makes each scan head mix channels from both asymmetric-conv
+     flavors, whereas here each head is uniform in one flavor (both are
+     fixed sparse wirings of identical ops/parameter counts; per-head
+     dt/A are learned either way) — a deliberate layout choice, not an
+     approximation of capacity.
   3. path1: depthwise 3x3 conv + SiLU (ADNssd.py:177-185,334).
      path2: two sub-chunks, each with asymmetric separable depthwise
      convs (1x3 o 3x1 vs 3x1 o 1x3, separate kernels for the x and BC

@@ -67,6 +67,31 @@ def ssd_naive_scan(x, dt, A, B_mat, C_mat, D, chunk_size: int = 64) -> jax.Array
     return y + x * D[None, None, :, None]
 
 
+def ssd_state_update(
+    state: jax.Array,
+    x_t: jax.Array,
+    dt_t: jax.Array,
+    A: jax.Array,
+    B_t: jax.Array,
+    C_t: jax.Array,
+    D: jax.Array,
+):
+    """Single-token recurrent update for autoregressive decode — the
+    TPU equivalent of mamba_ssm's ``selective_state_update`` Triton
+    kernel (reference: models/ADNssd.py:9).
+
+    state: (B, H, N, P); x_t: (B, H, P); dt_t: (B, H); A: (H,) negative;
+    B_t/C_t: (B, N); D: (H,). Returns (new_state, y_t) with
+      new_state = state * exp(dt*A) + B_t (x_t dt_t)
+      y_t = C_t^T new_state + D x_t.
+    """
+    decay = jnp.exp(dt_t * A)  # (B, H)
+    xdt = x_t * dt_t[..., None]  # (B, H, P)
+    new_state = state * decay[..., None, None] + jnp.einsum("bn,bhp->bhnp", B_t, xdt)
+    y = jnp.einsum("bn,bhnp->bhp", C_t, new_state) + x_t * D[None, :, None]
+    return new_state, y
+
+
 def _segsum(a: jax.Array) -> jax.Array:
     """Stable segment-sum: out[..., t, s] = sum_{r=s+1..t} a[..., r] for
     t >= s, -inf otherwise. a: (..., Q) -> (..., Q, Q)."""

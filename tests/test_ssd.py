@@ -4,7 +4,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adnm_tpu.ops.ssd import linear_attn_dual, ssd_chunked_scan, ssd_naive_scan
+from adnm_tpu.ops.ssd import (
+    linear_attn_dual,
+    ssd_chunked_scan,
+    ssd_naive_scan,
+    ssd_state_update,
+)
 
 
 def _inputs(key=0, b=2, l=32, h=4, p=4, n=8):
@@ -59,6 +64,20 @@ class TestChunkedScan:
 
         g = jax.grad(f)(x)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestStateUpdate:
+    def test_stepwise_matches_scan(self):
+        # rolling ssd_state_update over t must reproduce the causal scan
+        x, dt, A, B, C, D = _inputs(7, b=2, l=12, h=3, p=4, n=5)
+        y_scan = ssd_naive_scan(x, dt, A, B, C, D)
+        state = jnp.zeros((2, 3, 5, 4))
+        ys = []
+        for t in range(12):
+            state, y_t = ssd_state_update(state, x[:, t], dt[:, t], A, B[:, t], C[:, t], D)
+            ys.append(y_t)
+        y_step = jnp.stack(ys, axis=1)
+        np.testing.assert_allclose(np.asarray(y_step), np.asarray(y_scan), rtol=1e-4, atol=1e-5)
 
 
 class TestMixers:
