@@ -1,0 +1,57 @@
+"""Inference entry point: on-device nowcast from a saved checkpoint.
+
+Serving-path addition beyond the reference (which only has the
+validate/visualize drivers): reads input frames from .npy
+((T_in, H, W) or (B, T_in, 1, H, W)), runs the jitted forward, writes
+predictions to .npy and optionally renders PNG strips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from adnm_tpu.cli.common import add_common_args, build
+from adnm_tpu.train.checkpoint import best_ckpt_dir
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("adnm-predict")
+    add_common_args(p)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--input", required=True, help=".npy input frames")
+    p.add_argument("--output", default="prediction.npy")
+    p.add_argument("--png", default=None, help="optional dir for rendered strips")
+    args = p.parse_args(argv)
+
+    trainer, _, (ti, to, _, _) = build(args, need_loaders=False)
+    ckpt_path = args.ckpt or best_ckpt_dir(args.root, args.dataset, args.model)
+    if os.path.exists(ckpt_path):
+        trainer.load(ckpt_path)
+        print(f"loaded checkpoint: {ckpt_path}")
+    else:
+        print(f"warning: no checkpoint at {ckpt_path}; predicting with fresh init")
+
+    x = np.load(args.input).astype(np.float32)
+    if x.ndim == 3:
+        x = x[None, :, None]
+    assert x.ndim == 5 and x.shape[1] == ti, f"expected (B,{ti},1,H,W), got {x.shape}"
+    # pad a target block so eval_step's slicing works uniformly
+    batch = np.concatenate([x, np.zeros((x.shape[0], to) + x.shape[2:], np.float32)], axis=1)
+    _, preds = trainer._eval_step(trainer.state, trainer._put(batch))
+    preds = np.asarray(preds)
+    np.save(args.output, preds)
+    print(f"wrote {args.output} {preds.shape}")
+    if args.png:
+        from adnm_tpu.viz import vis_res
+
+        for b in range(preds.shape[0]):
+            vis_res(preds[b, :, 0], input_seq=x[b, :, 0],
+                    save_path=os.path.join(args.png, f"sample{b}"), pic_name="pred")
+        print(f"rendered strips under {args.png}")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,10 +20,15 @@ def main(argv=None):
     add_common_args(p)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--no-final-eval", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the full train state (params+opt+step) from the best checkpoint before training")
     args = p.parse_args(argv)
 
     trainer, (train_loader, val_loader, test_loader), (ti, to, _, thresholds) = build(args)
     ckpt_path = best_ckpt_dir(args.root, args.dataset, args.model)
+    if args.resume and os.path.exists(ckpt_path):
+        trainer.load(ckpt_path)
+        print(f"resumed from {ckpt_path} (step {int(trainer.state.step)})")
     print(f"model {args.model}  params "
           f"{sum(x.size for x in __import__('jax').tree.leaves(trainer.state.params)):,}")
     trainer.fit(train_loader, val_loader, test_loader, epochs=args.epochs, ckpt_path=ckpt_path)

@@ -52,7 +52,16 @@ def restore_state(path: str, target: Any) -> Any:
     except Exception:
         avail = set(tgt_tree.keys())
     sub_tgt = {k: v for k, v in tgt_tree.items() if k in avail}
-    restored = ckptr.restore(path, target=sub_tgt)
+    try:
+        restored = ckptr.restore(path, target=sub_tgt)
+    except Exception as e:
+        # optimizer-state layout changed (e.g. optax.flatten migration):
+        # fall back to params(+stats) only, keep a fresh optimizer
+        import logging
+
+        logging.warning("full train-state restore failed (%s); restoring params only", e)
+        keep = {k: v for k, v in sub_tgt.items() if k in ("params", "batch_stats")}
+        restored = ckptr.restore(path, target=keep)
     merged = dict(tgt_tree)
     merged.update(restored)
     if hasattr(target, "params"):
