@@ -25,20 +25,28 @@ class BatchLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        shard: tuple[int, int] | None = None,
     ):
+        """``shard=(process_index, process_count)`` slices the batch
+        stream per host for multi-host training (each host reads every
+        process_count-th batch) — the per-host data sharding hook from
+        SURVEY section 5 ('Distributed communication backend')."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.shard = shard
         self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        nb = n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+        if self.shard is not None:
+            idx, cnt = self.shard
+            return (nb - idx + cnt - 1) // cnt
+        return nb
 
     def _index_batches(self):
         n = len(self.dataset)
@@ -46,8 +54,10 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
-        nb = len(self)
+        nb = n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
         for i in range(nb):
+            if self.shard is not None and i % self.shard[1] != self.shard[0]:
+                continue
             yield order[i * self.batch_size : (i + 1) * self.batch_size]
 
     def _make_batch(self, idxs) -> np.ndarray:
@@ -72,3 +82,25 @@ class BatchLoader:
             if b is None:
                 return
             yield b
+
+
+def device_prefetch(iterator, put_fn, depth: int = 2):
+    """Double-buffered device prefetch: keep ``depth`` batches already
+    transferred (device_put/sharded by ``put_fn``) ahead of the consumer
+    so host->HBM copies overlap the train step."""
+    import collections
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            buf.append(put_fn(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put_fn(next(it)))
+        except StopIteration:
+            pass
+        yield out

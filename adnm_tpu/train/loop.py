@@ -150,24 +150,25 @@ class Trainer:
         return jnp.asarray(batch)
 
     def train_epoch(self, loader, lr: float, clip_norm: float) -> Dict[str, float]:
-        total_loss = 0.0
-        total_gnorm = 0.0
-        clip_count = 0
-        n = 0
-        for batch in loader:
-            self.state, loss, gnorm = self._train_step(
-                self.state, self._put(batch), jnp.float32(lr), jnp.float32(clip_norm)
-            )
-            loss_v = float(loss)
-            gnorm_v = float(gnorm)
-            total_loss += loss_v
-            total_gnorm += gnorm_v
-            if self.preset.norm_clip and gnorm_v > clip_norm:
-                clip_count += 1
-            n += 1
+        from adnm_tpu.data.loader import device_prefetch
+
+        losses = []
+        gnorms = []
+        lr_j = jnp.float32(lr)
+        clip_j = jnp.float32(clip_norm)
+        for batch in device_prefetch(loader, self._put):
+            # keep loss/gnorm as device arrays — fetching per step would
+            # force a sync and serialize the async dispatch pipeline
+            self.state, loss, gnorm = self._train_step(self.state, batch, lr_j, clip_j)
+            losses.append(loss)
+            gnorms.append(gnorm)
+        n = len(losses)
+        losses = np.asarray(jax.device_get(losses)) if losses else np.zeros(0)
+        gnorms = np.asarray(jax.device_get(gnorms)) if gnorms else np.zeros(0)
+        clip_count = int(np.sum(gnorms > clip_norm)) if self.preset.norm_clip else 0
         return {
-            "loss": total_loss,
-            "avg_grad_norm": total_gnorm / max(n, 1),
+            "loss": float(losses.sum()),
+            "avg_grad_norm": float(gnorms.mean()) if n else 0.0,
             "clip_ratio": clip_count / max(n, 1),
         }
 
