@@ -31,7 +31,9 @@ def main(argv=None):
         print(f"resumed from {ckpt_path} (step {int(trainer.state.step)})")
     print(f"model {args.model}  params "
           f"{sum(x.size for x in __import__('jax').tree.leaves(trainer.state.params)):,}")
-    trainer.fit(train_loader, val_loader, test_loader, epochs=args.epochs, ckpt_path=ckpt_path)
+    metrics_path = os.path.join(args.root, "results", args.dataset, f"{args.model}_train.jsonl")
+    trainer.fit(train_loader, val_loader, test_loader, epochs=args.epochs,
+                ckpt_path=ckpt_path, metrics_path=metrics_path)
 
     if args.no_final_eval:
         return

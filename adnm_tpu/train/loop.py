@@ -196,9 +196,15 @@ class Trainer:
         ckpt_path: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
         eval_test_each_epoch: bool = True,
+        metrics_path: Optional[str] = None,
     ):
         preset = self.preset
         epochs = epochs or preset.epochs
+        jsonl = None
+        if metrics_path:
+            from adnm_tpu.utils.logging import MetricsLogger
+
+            jsonl = MetricsLogger(metrics_path, echo=False)
         best = float("inf")
         prev_avg_grad_norm = 0.0
         early_stop_count = 0
@@ -241,6 +247,10 @@ class Trainer:
                 EpochLog(epoch, tr["loss"], val_loss, test_loss, lr,
                          tr["avg_grad_norm"], clip_norm, tr["clip_ratio"], dt)
             )
+            if jsonl is not None:
+                jsonl.log(epoch=epoch, train_loss=tr["loss"], val_loss=val_loss,
+                          test_loss=test_loss, lr=lr, grad_norm=tr["avg_grad_norm"],
+                          clip_threshold=clip_norm, clip_ratio=tr["clip_ratio"], seconds=dt)
             log_fn(
                 f"epoch {epoch}: train_loss {tr['loss']:.6f} test_loss {test_loss:.6f} "
                 f"lr {lr:.2e} grad_norm {tr['avg_grad_norm']:.4f} "
