@@ -78,6 +78,7 @@ class Block(nn.Module):
     norm_epsilon: float = 1e-5
     d_state: int = 16
     linear_attn_duality: bool = True
+    mixer_type: str = "adnssd"  # "adnssd" | "vssd" (reference import switch, ADNMUNet.py:23-24)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -112,7 +113,12 @@ class Block(nn.Module):
             scale2 = scalar_param(self, f"scale2_{i}", 1.0)
             shift2 = scalar_param(self, f"shift2_{i}", 0.0)
             x_norm = scale1 * RMSNorm(d, self.norm_epsilon, name=f"norm1_{i}")(x) + shift1
-            mixer = ADNSSDMixer(
+            mixer_cls = ADNSSDMixer
+            if self.mixer_type == "vssd":
+                from adnm_tpu.mixers.vssd import VSSDMixer
+
+                mixer_cls = VSSDMixer
+            mixer = mixer_cls(
                 d_model=d,
                 headdim=self.headdim,
                 d_state=self.d_state,
@@ -195,6 +201,8 @@ class Encoder(nn.Module):
     norm_epsilon: float = 1e-5
     instance_norm: bool = True
     simple_patch: bool = False
+    linear_attn_duality: bool = True
+    mixer_type: str = "adnssd"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -223,7 +231,9 @@ class Encoder(nn.Module):
         skips.append(x)
 
         blk = functools.partial(
-            Block, headdim=self.headdim, norm_epsilon=self.norm_epsilon, dtype=self.dtype
+            Block, headdim=self.headdim, norm_epsilon=self.norm_epsilon,
+            linear_attn_duality=self.linear_attn_duality, mixer_type=self.mixer_type,
+            dtype=self.dtype,
         )
         x = blk(dim=ed[2], out_dim=ed[3], num_layers=self.depth[0], name="encoder4")(x)
         skips.append(x)
@@ -253,6 +263,8 @@ class Decoder(nn.Module):
     norm_epsilon: float = 1e-5
     instance_norm: bool = True
     compute_dead_features: bool = False
+    linear_attn_duality: bool = True
+    mixer_type: str = "adnssd"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -262,7 +274,9 @@ class Decoder(nn.Module):
         c_list = ed[:2] + [ed[2], ed[2]] + ed[3:]
         fusion = ChannelAttBridge(c_list, name="fusion")(skips)
         blk = functools.partial(
-            Block, headdim=self.headdim, norm_epsilon=self.norm_epsilon, dtype=self.dtype
+            Block, headdim=self.headdim, norm_epsilon=self.norm_epsilon,
+            linear_attn_duality=self.linear_attn_duality, mixer_type=self.mixer_type,
+            dtype=self.dtype,
         )
 
         # e2ds[i] processes skip[6-i] with its fused attention map
@@ -323,6 +337,8 @@ class Refiner(nn.Module):
     norm_epsilon: float = 1e-5
     instance_norm: bool = True
     remat: bool = True
+    linear_attn_duality: bool = True
+    mixer_type: str = "adnssd"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -336,6 +352,8 @@ class Refiner(nn.Module):
                 headdim=self.refine_headdim[i],
                 num_layers=self.refine_depth[i],
                 norm_epsilon=self.norm_epsilon,
+                linear_attn_duality=self.linear_attn_duality,
+                mixer_type=self.mixer_type,
                 dtype=self.dtype,
                 name=f"refiner{i + 1}",
             )(x)
@@ -366,6 +384,8 @@ class ADNMUNet(nn.Module):
     instance_norm: bool = True
     simple_patch: bool = False
     compute_dead_features: bool = False
+    linear_attn_duality: bool = True
+    mixer_type: str = "adnssd"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -375,17 +395,21 @@ class ADNMUNet(nn.Module):
         x, skips, res = Encoder(
             self.embed_dim, self.depth, self.headdim, self.channels,
             self.kernel, self.ratio, self.wt_levels, self.norm_epsilon,
-            self.instance_norm, self.simple_patch, self.dtype, name="encoder",
+            self.instance_norm, self.simple_patch,
+            self.linear_attn_duality, self.mixer_type, self.dtype, name="encoder",
         )(x)
         x = Decoder(
             self.embed_dim, self.depth, self.headdim, self.refine_dim,
             self.kernel, self.ratio, self.wt_levels, self.norm_epsilon,
-            self.instance_norm, self.compute_dead_features, self.dtype, name="decoder",
+            self.instance_norm, self.compute_dead_features,
+            self.linear_attn_duality, self.mixer_type, self.dtype, name="decoder",
         )(x, skips)
         out = Refiner(
             self.refine_dim, self.refine_depth, self.refine_headdim,
             self.out_channels, self.wt_levels, self.out_expand,
-            self.norm_epsilon, self.instance_norm, dtype=self.dtype, name="refiner",
+            self.norm_epsilon, self.instance_norm,
+            linear_attn_duality=self.linear_attn_duality,
+            mixer_type=self.mixer_type, dtype=self.dtype, name="refiner",
         )(x, res)
         return out.transpose(0, 3, 1, 2)[:, :, None]  # (B, T_out, 1, H, W)
 
