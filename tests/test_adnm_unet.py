@@ -20,6 +20,16 @@ def test_headdim_schedule():
     assert schedule_headdim(1024) == 32
 
 
+def test_flagship_param_count():
+    # structural pin: full-width flagship (5 -> 20 frames) has 72,566,228
+    # params (changes legitimately only with the architecture)
+    model = create_adnm_unet(5, 20, 6)
+    x = jnp.zeros((1, 5, 1, 64, 64))
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, train=False))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes["params"]))
+    assert n == 72_566_228, n
+
+
 def test_factory_configs():
     m = create_adnm_unet(5, 20, 6)
     assert m.refine_dim == (32, 32, 32, 32)
