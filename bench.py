@@ -63,18 +63,25 @@ def main():
     _, out = trainer._eval_step(trainer.state, batch)
     jax.block_until_ready(out)
 
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        trainer.state, loss, gn = trainer._train_step(trainer.state, batch, lr, clip)
-    jax.block_until_ready(loss)
-    train_step_s = (time.perf_counter() - t0) / n_iter
+    # best-of-trials to reject host/dispatch interference noise
+    n_iter, n_trials = 20, 3
 
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        _, out = trainer._eval_step(trainer.state, batch)
-    jax.block_until_ready(out)
-    rollout_step_s = (time.perf_counter() - t0) / n_iter
+    def time_train():
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            trainer.state, loss, gn = trainer._train_step(trainer.state, batch, lr, clip)
+        jax.block_until_ready(loss)
+        return (time.perf_counter() - t0) / n_iter
+
+    def time_rollout():
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            _, out = trainer._eval_step(trainer.state, batch)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_iter
+
+    train_step_s = min(time_train() for _ in range(n_trials))
+    rollout_step_s = min(time_rollout() for _ in range(n_trials))
 
     frames = BATCH * T_OUT
     combined = (2 * frames) / (train_step_s + rollout_step_s)  # one train + one rollout round
