@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--input", required=True, help=".npy input frames")
     p.add_argument("--output", default="prediction.npy")
     p.add_argument("--png", default=None, help="optional dir for rendered strips")
+    p.add_argument("--horizon", type=int, default=None,
+                   help="chained rollout: keep feeding the last T_in predicted "
+                        "frames back until >= horizon frames are produced "
+                        "(extends beyond the model's native T_out)")
     args = p.parse_args(argv)
 
     trainer, _, (ti, to, _, _) = build(args, need_loaders=False)
@@ -38,10 +42,24 @@ def main(argv=None):
     if x.ndim == 3:
         x = x[None, :, None]
     assert x.ndim == 5 and x.shape[1] == ti, f"expected (B,{ti},1,H,W), got {x.shape}"
-    # pad a target block so eval_step's slicing works uniformly
-    batch = np.concatenate([x, np.zeros((x.shape[0], to) + x.shape[2:], np.float32)], axis=1)
-    _, preds = trainer._eval_step(trainer.state, trainer._put(batch))
-    preds = np.asarray(preds)
+
+    def forward(inp):
+        # pad a target block so eval_step's slicing works uniformly
+        batch = np.concatenate([inp, np.zeros((inp.shape[0], to) + inp.shape[2:], np.float32)], axis=1)
+        _, out = trainer._eval_step(trainer.state, trainer._put(batch))
+        return np.asarray(out)
+
+    preds = forward(x)
+    if args.horizon and args.horizon > to:
+        chunks = [preds]
+        total = preds.shape[1]
+        cur = preds
+        while total < args.horizon:
+            inp = np.clip(cur[:, -ti:], 0.0, 1.0)
+            cur = forward(inp)
+            chunks.append(cur)
+            total += cur.shape[1]
+        preds = np.concatenate(chunks, axis=1)[:, : args.horizon]
     np.save(args.output, preds)
     print(f"wrote {args.output} {preds.shape}")
     if args.png:

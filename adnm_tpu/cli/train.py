@@ -22,6 +22,8 @@ def main(argv=None):
     p.add_argument("--no-final-eval", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="restore the full train state (params+opt+step) from the best checkpoint before training")
+    p.add_argument("--save-every", type=int, default=None,
+                   help="also write rotating epoch snapshots every N epochs")
     args = p.parse_args(argv)
 
     trainer, (train_loader, val_loader, test_loader), (ti, to, _, thresholds) = build(args)
@@ -33,7 +35,7 @@ def main(argv=None):
           f"{sum(x.size for x in __import__('jax').tree.leaves(trainer.state.params)):,}")
     metrics_path = os.path.join(args.root, "results", args.dataset, f"{args.model}_train.jsonl")
     trainer.fit(train_loader, val_loader, test_loader, epochs=args.epochs,
-                ckpt_path=ckpt_path, metrics_path=metrics_path)
+                ckpt_path=ckpt_path, metrics_path=metrics_path, save_every=args.save_every)
 
     if args.no_final_eval:
         return

@@ -197,7 +197,12 @@ class Trainer:
         log_fn: Callable[[str], None] = print,
         eval_test_each_epoch: bool = True,
         metrics_path: Optional[str] = None,
+        save_every: Optional[int] = None,
+        keep_last: int = 2,
     ):
+        """``save_every=N`` additionally writes {ckpt_path}_epoch{E} every N
+        epochs (rotating, keep_last retained) — periodic snapshots for
+        failure recovery on top of the reference's best-only policy."""
         preset = self.preset
         epochs = epochs or preset.epochs
         jsonl = None
@@ -237,6 +242,18 @@ class Trainer:
                 if preset.if_early_stop and save_gate:
                     early_stop_count += 1
                 log_fn(f"epoch {epoch}: val_loss {val_loss:.6f}")
+
+            if save_every and ckpt_path and epoch % save_every == 0:
+                import glob
+                import shutil
+
+                ckpt.save_state(f"{ckpt_path}_epoch{epoch}", self.state)
+                snaps = sorted(
+                    glob.glob(f"{ckpt_path}_epoch*"),
+                    key=lambda p: int(p.rsplit("epoch", 1)[1]),
+                )
+                for old in snaps[:-keep_last]:
+                    shutil.rmtree(old, ignore_errors=True)
 
             test_loss = 0.0
             if test_loader is not None and eval_test_each_epoch:
