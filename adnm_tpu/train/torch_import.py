@@ -1,0 +1,126 @@
+"""Torch state_dict importers: load reference-format checkpoints.
+
+The reference saves torch ``state_dict``s (train.py:174); users migrating
+bring ``{model}_best.pth`` files. These converters map them onto our
+NHWC flax param trees. Conventions:
+
+  * torch conv weight (O, I, kh, kw) -> HWIO (kh, kw, I, O); grouped /
+    depthwise convs keep the same group ordering under
+    feature_group_count, so the pure transpose is exact;
+  * torch Linear (out, in) -> (in, out);
+  * BatchNorm weight/bias -> params, running_mean/var -> batch_stats.
+
+``convert_smaat_state_dict`` covers SmaAt-UNet (reference module names
+from models/SmaAt_UNet.py:302-334); the mapping is bijective, so
+``export_smaat_state_dict`` produces a reference-layout dict from our
+params (used by the cross-framework parity test).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _conv_w(t: np.ndarray) -> np.ndarray:
+    return np.transpose(t, (2, 3, 1, 0))
+
+
+def _conv_w_inv(k: np.ndarray) -> np.ndarray:
+    return np.transpose(k, (3, 2, 0, 1))
+
+
+def _lin_w(t: np.ndarray) -> np.ndarray:
+    return np.transpose(t, (1, 0))
+
+
+def _smaat_name_map() -> Dict[str, Tuple[str, str]]:
+    """torch name -> (our dotted path, kind) with kind in
+    {conv_w, bias, lin_w, bn_w, bn_b, bn_mean, bn_var}."""
+    m: Dict[str, Tuple[str, str]] = {}
+
+    def double_conv(torch_prefix, ours_prefix):
+        for t_i, o_conv, o_bn in ((0, "conv1", "bn1"), (3, "conv2", "bn2")):
+            m[f"{torch_prefix}.{t_i}.depthwise.weight"] = (f"{ours_prefix}/{o_conv}/depthwise/kernel", "conv_w")
+            m[f"{torch_prefix}.{t_i}.depthwise.bias"] = (f"{ours_prefix}/{o_conv}/depthwise/bias", "bias")
+            m[f"{torch_prefix}.{t_i}.pointwise.weight"] = (f"{ours_prefix}/{o_conv}/pointwise/kernel", "conv_w")
+            m[f"{torch_prefix}.{t_i}.pointwise.bias"] = (f"{ours_prefix}/{o_conv}/pointwise/bias", "bias")
+            bn_i = t_i + 1
+            m[f"{torch_prefix}.{bn_i}.weight"] = (f"{ours_prefix}/{o_bn}/weight", "bn_w")
+            m[f"{torch_prefix}.{bn_i}.bias"] = (f"{ours_prefix}/{o_bn}/bias", "bn_b")
+            m[f"{torch_prefix}.{bn_i}.running_mean"] = (f"{ours_prefix}/{o_bn}/mean", "bn_mean")
+            m[f"{torch_prefix}.{bn_i}.running_var"] = (f"{ours_prefix}/{o_bn}/var", "bn_var")
+
+    def cbam(torch_prefix, ours_prefix):
+        m[f"{torch_prefix}.channel_att.MLP.1.weight"] = (f"{ours_prefix}/channel_att/fc1/kernel", "lin_w")
+        m[f"{torch_prefix}.channel_att.MLP.1.bias"] = (f"{ours_prefix}/channel_att/fc1/bias", "bias")
+        m[f"{torch_prefix}.channel_att.MLP.3.weight"] = (f"{ours_prefix}/channel_att/fc2/kernel", "lin_w")
+        m[f"{torch_prefix}.channel_att.MLP.3.bias"] = (f"{ours_prefix}/channel_att/fc2/bias", "bias")
+        m[f"{torch_prefix}.spatial_att.conv.weight"] = (f"{ours_prefix}/spatial_att/conv/kernel", "conv_w")
+        m[f"{torch_prefix}.spatial_att.bn.weight"] = (f"{ours_prefix}/spatial_att/bn/weight", "bn_w")
+        m[f"{torch_prefix}.spatial_att.bn.bias"] = (f"{ours_prefix}/spatial_att/bn/bias", "bn_b")
+        m[f"{torch_prefix}.spatial_att.bn.running_mean"] = (f"{ours_prefix}/spatial_att/bn/mean", "bn_mean")
+        m[f"{torch_prefix}.spatial_att.bn.running_var"] = (f"{ours_prefix}/spatial_att/bn/var", "bn_var")
+
+    double_conv("inc.double_conv", "inc")
+    for i in range(1, 6):
+        cbam(f"cbam{i}", f"cbam{i}")
+    for i in range(1, 5):
+        double_conv(f"down{i}.maxpool_conv.1.double_conv", f"down{i}")
+        double_conv(f"up{i}.conv.double_conv", f"up{i}")
+    m["outc.conv.weight"] = ("outc/kernel", "conv_w")
+    m["outc.conv.bias"] = ("outc/bias", "bias")
+    return m
+
+
+def _set(tree: dict, dotted: str, value):
+    parts = dotted.split("/")
+    for p in parts[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[parts[-1]] = value
+
+
+def convert_smaat_state_dict(state_dict) -> Tuple[dict, dict]:
+    """torch state_dict (tensors or ndarrays) -> (params, batch_stats)."""
+    params: dict = {}
+    stats: dict = {}
+    name_map = _smaat_name_map()
+    for tname, (ours, kind) in name_map.items():
+        if tname not in state_dict:
+            # DataParallel prefix tolerance (reference wraps in nn.DataParallel)
+            tname2 = "module." + tname
+            if tname2 not in state_dict:
+                raise KeyError(f"missing key in state_dict: {tname}")
+            tname = tname2
+        t = np.asarray(state_dict[tname].numpy() if hasattr(state_dict[tname], "numpy") else state_dict[tname])
+        if kind == "conv_w":
+            _set(params, ours, _conv_w(t))
+        elif kind == "lin_w":
+            _set(params, ours, _lin_w(t))
+        elif kind in ("bias", "bn_w", "bn_b"):
+            _set(params, ours, t)
+        elif kind in ("bn_mean", "bn_var"):
+            _set(stats, ours, t)
+    return params, stats
+
+
+def export_smaat_state_dict(params: dict, batch_stats: dict) -> dict:
+    """Inverse of convert_smaat_state_dict (for round-trip tests)."""
+
+    def get(tree, dotted):
+        for p in dotted.split("/"):
+            tree = tree[p]
+        return np.asarray(tree)
+
+    out = {}
+    for tname, (ours, kind) in _smaat_name_map().items():
+        if kind == "conv_w":
+            out[tname] = _conv_w_inv(get(params, ours))
+        elif kind == "lin_w":
+            out[tname] = np.transpose(get(params, ours), (1, 0))
+        elif kind in ("bias", "bn_w", "bn_b"):
+            out[tname] = get(params, ours)
+        else:
+            out[tname] = get(batch_stats, ours)
+    return out

@@ -1,0 +1,99 @@
+"""Cross-framework parity: SmaAt-UNet forward in eval mode must match a
+torch functional execution of the same weights (exported via the
+bijective converter), and torch->jax conversion must round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adnm_tpu.models.smaat_unet import SmaAtUNet
+from adnm_tpu.train.torch_import import convert_smaat_state_dict, export_smaat_state_dict
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _t(sd, name):
+    return torch.from_numpy(np.ascontiguousarray(sd[name]))
+
+
+def torch_smaat_forward(sd, x_np, n_classes):
+    """Functional torch execution of the SmaAt-UNet graph (eval mode),
+    using reference module names; an independent oracle for our wiring."""
+
+    def ds_conv(v, p):
+        w = _t(sd, f"{p}.depthwise.weight")
+        v = F.conv2d(v, w, _t(sd, f"{p}.depthwise.bias"), padding=1, groups=v.shape[1])
+        return F.conv2d(v, _t(sd, f"{p}.pointwise.weight"), _t(sd, f"{p}.pointwise.bias"))
+
+    def bn(v, p):
+        return F.batch_norm(
+            v, _t(sd, f"{p}.running_mean"), _t(sd, f"{p}.running_var"),
+            _t(sd, f"{p}.weight"), _t(sd, f"{p}.bias"), training=False, eps=1e-5,
+        )
+
+    def double(v, p):
+        v = F.relu(bn(ds_conv(v, f"{p}.0"), f"{p}.1"))
+        return F.relu(bn(ds_conv(v, f"{p}.3"), f"{p}.4"))
+
+    def cbam(v, p):
+        avg = v.mean(dim=(2, 3))
+        mx = v.amax(dim=(2, 3))
+        w1, b1 = _t(sd, f"{p}.channel_att.MLP.1.weight"), _t(sd, f"{p}.channel_att.MLP.1.bias")
+        w2, b2 = _t(sd, f"{p}.channel_att.MLP.3.weight"), _t(sd, f"{p}.channel_att.MLP.3.bias")
+        gate = F.linear(F.relu(F.linear(avg, w1, b1)), w2, b2) + F.linear(
+            F.relu(F.linear(mx, w1, b1)), w2, b2
+        )
+        v = v * torch.sigmoid(gate)[:, :, None, None]
+        sp = torch.cat([v.mean(dim=1, keepdim=True), v.amax(dim=1, keepdim=True)], dim=1)
+        sp = F.conv2d(sp, _t(sd, f"{p}.spatial_att.conv.weight"), None, padding=3)
+        sp = bn(sp, f"{p}.spatial_att.bn")
+        return v * torch.sigmoid(sp)
+
+    x = torch.from_numpy(x_np)
+    x1 = double(x, "inc.double_conv")
+    x1a = cbam(x1, "cbam1")
+    x2 = double(F.max_pool2d(x1, 2), "down1.maxpool_conv.1.double_conv")
+    x2a = cbam(x2, "cbam2")
+    x3 = double(F.max_pool2d(x2, 2), "down2.maxpool_conv.1.double_conv")
+    x3a = cbam(x3, "cbam3")
+    x4 = double(F.max_pool2d(x3, 2), "down3.maxpool_conv.1.double_conv")
+    x4a = cbam(x4, "cbam4")
+    x5 = double(F.max_pool2d(x4, 2), "down4.maxpool_conv.1.double_conv")
+    x5a = cbam(x5, "cbam5")
+
+    def up(v, skip, p):
+        v = F.interpolate(v, scale_factor=2, mode="bilinear", align_corners=True)
+        return double(torch.cat([skip, v], dim=1), f"{p}.conv.double_conv")
+
+    y = up(x5a, x4a, "up1")
+    y = up(y, x3a, "up2")
+    y = up(y, x2a, "up3")
+    y = up(y, x1a, "up4")
+    return F.conv2d(y, _t(sd, "outc.conv.weight"), _t(sd, "outc.conv.bias")).numpy()
+
+
+class TestSmaAtCrossFramework:
+    def test_forward_parity_and_roundtrip(self):
+        model = SmaAtUNet(n_channels=5, n_classes=3)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 5, 1, 32, 32))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(1), x, train=False
+        )
+        params = jax.device_get(variables["params"])
+        stats = jax.device_get(variables["batch_stats"])
+
+        sd = export_smaat_state_dict(params, stats)
+        with torch.no_grad():
+            y_torch = torch_smaat_forward(sd, np.asarray(x[:, :, 0]), 3)
+        y_ours = np.asarray(model.apply(variables, x, train=False))[:, :, 0]
+        np.testing.assert_allclose(y_ours, y_torch, rtol=1e-3, atol=2e-4)
+
+        # round-trip: torch dict -> our trees, exactly the originals
+        p2, s2 = convert_smaat_state_dict(sd)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(stats), jax.tree.leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
