@@ -105,6 +105,90 @@ def convert_smaat_state_dict(state_dict) -> Tuple[dict, dict]:
     return params, stats
 
 
+def _deconv_w(t: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kh, kw) -> our HWIO (kh, kw, in, out)."""
+    return np.transpose(t, (2, 3, 0, 1))
+
+
+def _convlstm_name_map() -> Dict[str, Tuple[str, str]]:
+    """ConvLSTM EF mapping (reference names from models/ConvLSTM.py:
+    Encoder/Forecaster setattr naming :107-151 + specs :211-247)."""
+    m: Dict[str, Tuple[str, str]] = {}
+    # encoder conv stages
+    m["encoder.stage1.conv1_leaky_1.weight"] = ("e1_conv/kernel", "conv_w")
+    m["encoder.stage1.conv1_leaky_1.bias"] = ("e1_conv/bias", "bias")
+    m["encoder.stage2.conv2_leaky_1.weight"] = ("e2_conv/kernel", "conv_w")
+    m["encoder.stage2.conv2_leaky_1.bias"] = ("e2_conv/bias", "bias")
+    m["encoder.stage3.conv3_leaky_1.weight"] = ("e3_conv/kernel", "conv_w")
+    m["encoder.stage3.conv3_leaky_1.bias"] = ("e3_conv/bias", "bias")
+    # rnn cells (encoder rnn1..3, forecaster rnn3..1)
+    for t_name, o_name in (
+        ("encoder.rnn1", "e_rnn1"), ("encoder.rnn2", "e_rnn2"), ("encoder.rnn3", "e_rnn3"),
+        ("forecaster.rnn3", "f_rnn3"), ("forecaster.rnn2", "f_rnn2"), ("forecaster.rnn1", "f_rnn1"),
+    ):
+        m[f"{t_name}._conv.weight"] = (f"{o_name}/cell/conv/kernel", "conv_w")
+        m[f"{t_name}._conv.bias"] = (f"{o_name}/cell/conv/bias", "bias")
+        for peep in ("Wci", "Wcf", "Wco"):
+            m[f"{t_name}.{peep}"] = (f"{o_name}/cell/{peep}", "peephole")
+    # forecaster deconvs + head
+    m["forecaster.stage3.deconv1_leaky_1.weight"] = ("f_deconv1/kernel", "deconv_w")
+    m["forecaster.stage3.deconv1_leaky_1.bias"] = ("f_deconv1/bias", "bias")
+    m["forecaster.stage2.deconv2_leaky_1.weight"] = ("f_deconv2/kernel", "deconv_w")
+    m["forecaster.stage2.deconv2_leaky_1.bias"] = ("f_deconv2/bias", "bias")
+    m["forecaster.stage1.deconv3_leaky_1.weight"] = ("f_deconv3/kernel", "deconv_w")
+    m["forecaster.stage1.deconv3_leaky_1.bias"] = ("f_deconv3/bias", "bias")
+    m["forecaster.stage1.conv3_leaky_2.weight"] = ("f_conv2/kernel", "conv_w")
+    m["forecaster.stage1.conv3_leaky_2.bias"] = ("f_conv2/bias", "bias")
+    m["forecaster.stage1.conv3_3.weight"] = ("f_conv3/kernel", "conv_w")
+    m["forecaster.stage1.conv3_3.bias"] = ("f_conv3/bias", "bias")
+    return m
+
+
+def convert_convlstm_state_dict(state_dict) -> dict:
+    """torch ConvLSTM EF state_dict -> our params tree.
+
+    The reference's peephole weights are frozen zeros on CUDA (absent
+    from the state_dict, ConvLSTM.py:26-28) — missing peepholes load as
+    zeros, which reproduces the reference function exactly."""
+    params: dict = {}
+    for tname, (ours, kind) in _convlstm_name_map().items():
+        key = tname if tname in state_dict else "module." + tname
+        if key not in state_dict:
+            if kind == "peephole":
+                continue  # zeros by init
+            raise KeyError(f"missing key in state_dict: {tname}")
+        t = np.asarray(state_dict[key].numpy() if hasattr(state_dict[key], "numpy") else state_dict[key])
+        if kind == "conv_w":
+            _set(params, ours, _conv_w(t))
+        elif kind == "deconv_w":
+            _set(params, ours, _deconv_w(t))
+        elif kind == "peephole":
+            _set(params, ours, t[0].transpose(1, 2, 0))  # (1,C,H,W) -> (H,W,C)
+        else:
+            _set(params, ours, t)
+    return params
+
+
+def export_convlstm_state_dict(params: dict) -> dict:
+    def get(tree, dotted):
+        for p in dotted.split("/"):
+            tree = tree[p]
+        return np.asarray(tree)
+
+    out = {}
+    for tname, (ours, kind) in _convlstm_name_map().items():
+        v = get(params, ours)
+        if kind == "conv_w":
+            out[tname] = _conv_w_inv(v)
+        elif kind == "deconv_w":
+            out[tname] = np.transpose(v, (2, 3, 0, 1))
+        elif kind == "peephole":
+            out[tname] = np.transpose(v, (2, 0, 1))[None]
+        else:
+            out[tname] = v
+    return out
+
+
 def export_smaat_state_dict(params: dict, batch_stats: dict) -> dict:
     """Inverse of convert_smaat_state_dict (for round-trip tests)."""
 

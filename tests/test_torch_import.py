@@ -75,6 +75,97 @@ def torch_smaat_forward(sd, x_np, n_classes):
     return F.conv2d(y, _t(sd, "outc.conv.weight"), _t(sd, "outc.conv.bias")).numpy()
 
 
+def torch_convlstm_forward(sd, x_np, t_out):
+    """Functional torch execution of the ConvLSTM encoder-forecaster
+    (reference graph, ConvLSTM.py:100-197) — oracle for our lax.scan
+    wiring and deconv mapping. x_np: (B, T_in, 1, H, W)."""
+
+    def leaky(v):
+        return F.leaky_relu(v, 0.2)
+
+    def cell_roll(p, xs, state, steps, in_ch, h, w, nf, batch):
+        wconv = _t(sd, f"{p}._conv.weight")
+        bconv = _t(sd, f"{p}._conv.bias")
+        peep = {}
+        for nm in ("Wci", "Wcf", "Wco"):
+            key = f"{p}.{nm}"
+            peep[nm] = _t(sd, key) if key in sd else torch.zeros(1, nf, h, w)
+        if state is None:
+            hh = torch.zeros(batch, nf, h, w)
+            cc = torch.zeros(batch, nf, h, w)
+        else:
+            hh, cc = state
+        outs = []
+        for t in range(steps):
+            x = xs[t] if xs is not None else torch.zeros(batch, in_ch, h, w)
+            gates = F.conv2d(torch.cat([x, hh], dim=1), wconv, bconv, padding=1)
+            i, f, tmp_c, o = torch.chunk(gates, 4, dim=1)
+            i = torch.sigmoid(i + peep["Wci"] * cc)
+            f = torch.sigmoid(f + peep["Wcf"] * cc)
+            cc = f * cc + i * torch.tanh(tmp_c)
+            o = torch.sigmoid(o + peep["Wco"] * cc)
+            hh = o * torch.tanh(cc)
+            outs.append(hh)
+        return torch.stack(outs), (hh, cc)
+
+    x = torch.from_numpy(x_np)
+    b, t_in = x.shape[0], x.shape[1]
+    H = x.shape[3]
+    seq = x[:, :, 0].unsqueeze(2).permute(1, 0, 2, 3, 4)  # (T, B, 1, H, W)
+
+    def apply_seq(fn, v):
+        t, bb = v.shape[0], v.shape[1]
+        out = fn(v.reshape(t * bb, *v.shape[2:]))
+        return out.reshape(t, bb, *out.shape[1:])
+
+    s1, s2, s3 = H // 4, H // 16, H // 32
+    e1 = apply_seq(lambda v: leaky(F.conv2d(v, _t(sd, "encoder.stage1.conv1_leaky_1.weight"), _t(sd, "encoder.stage1.conv1_leaky_1.bias"), stride=4, padding=1)), seq)
+    o1, st1 = cell_roll("encoder.rnn1", e1, None, t_in, 8, s1, s1, 64, b)
+    e2 = apply_seq(lambda v: leaky(F.conv2d(v, _t(sd, "encoder.stage2.conv2_leaky_1.weight"), _t(sd, "encoder.stage2.conv2_leaky_1.bias"), stride=4, padding=1)), o1)
+    o2, st2 = cell_roll("encoder.rnn2", e2, None, t_in, 192, s2, s2, 192, b)
+    e3 = apply_seq(lambda v: leaky(F.conv2d(v, _t(sd, "encoder.stage3.conv3_leaky_1.weight"), _t(sd, "encoder.stage3.conv3_leaky_1.bias"), stride=2, padding=1)), o2)
+    o3, st3 = cell_roll("encoder.rnn3", e3, None, t_in, 192, s3, s3, 192, b)
+
+    f3, _ = cell_roll("forecaster.rnn3", None, st3, t_out, 192, s3, s3, 192, b)
+    d1 = apply_seq(lambda v: leaky(F.conv_transpose2d(v, _t(sd, "forecaster.stage3.deconv1_leaky_1.weight"), _t(sd, "forecaster.stage3.deconv1_leaky_1.bias"), stride=2, padding=1)), f3)
+    f2, _ = cell_roll("forecaster.rnn2", d1, st2, t_out, 192, s2, s2, 192, b)
+    d2 = apply_seq(lambda v: leaky(F.conv_transpose2d(v, _t(sd, "forecaster.stage2.deconv2_leaky_1.weight"), _t(sd, "forecaster.stage2.deconv2_leaky_1.bias"), stride=4, padding=1)), f2)
+    f1, _ = cell_roll("forecaster.rnn1", d2, st1, t_out, 64, s1, s1, 64, b)
+
+    def head(v):
+        v = leaky(F.conv_transpose2d(v, _t(sd, "forecaster.stage1.deconv3_leaky_1.weight"), _t(sd, "forecaster.stage1.deconv3_leaky_1.bias"), stride=4, padding=1))
+        v = leaky(F.conv2d(v, _t(sd, "forecaster.stage1.conv3_leaky_2.weight"), _t(sd, "forecaster.stage1.conv3_leaky_2.bias"), padding=1))
+        return F.conv2d(v, _t(sd, "forecaster.stage1.conv3_3.weight"), _t(sd, "forecaster.stage1.conv3_3.bias"))
+
+    out = apply_seq(head, f1)  # (T_out, B, 1, H, W)
+    return out.permute(1, 0, 2, 3, 4).numpy()
+
+
+class TestConvLSTMCrossFramework:
+    def test_forward_parity_and_roundtrip(self):
+        from adnm_tpu.models.conv_lstm import create_conv_lstm
+        from adnm_tpu.train.torch_import import (
+            convert_convlstm_state_dict,
+            export_convlstm_state_dict,
+        )
+
+        model = create_conv_lstm(3)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 5, 1, 64, 64))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(1), x, train=False
+        )
+        params = jax.device_get(variables["params"])
+        sd = export_convlstm_state_dict(params)
+        with torch.no_grad():
+            y_torch = torch_convlstm_forward(sd, np.asarray(x), 3)
+        y_ours = np.asarray(model.apply(variables, x, train=False))
+        np.testing.assert_allclose(y_ours, y_torch, rtol=1e-3, atol=2e-4)
+
+        p2 = convert_convlstm_state_dict(sd)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestSmaAtCrossFramework:
     def test_forward_parity_and_roundtrip(self):
         model = SmaAtUNet(n_channels=5, n_classes=3)
