@@ -189,6 +189,83 @@ def export_convlstm_state_dict(params: dict) -> dict:
     return out
 
 
+def _lptqpn_name_map(num_blocks=(4, 6, 6, 8), num_refinement_blocks=2) -> Dict[str, Tuple[str, str]]:
+    """LPTQPN mapping (reference names from models/LPTQPN.py:205-262).
+
+    torch decoder_levels[0/1/2] are our dec1/dec2/dec3; torch
+    upsamples[0/1/2] are our up1/up2/up3 (forward indexes them from the
+    end, LPTQPN.py:279-289)."""
+    m: Dict[str, Tuple[str, str]] = {}
+
+    def block(tp, op):
+        m[f"{tp}.norm1.body.weight"] = (f"{op}/norm1/weight", "bias")
+        m[f"{tp}.attn.temperature"] = (f"{op}/attn/temperature", "temp")
+        m[f"{tp}.attn.qkv.weight"] = (f"{op}/attn/qkv/kernel", "conv_w")
+        m[f"{tp}.attn.qkv_dwconv.weight"] = (f"{op}/attn/qkv_dwconv/kernel", "conv_w")
+        m[f"{tp}.attn.project_out.weight"] = (f"{op}/attn/project_out/kernel", "conv_w")
+        m[f"{tp}.norm2.body.weight"] = (f"{op}/norm2/weight", "bias")
+        m[f"{tp}.ffn.project_in.weight"] = (f"{op}/ffn/project_in/kernel", "conv_w")
+        m[f"{tp}.ffn.dwconv.weight"] = (f"{op}/ffn/dwconv/kernel", "conv_w")
+        m[f"{tp}.ffn.project_out.weight"] = (f"{op}/ffn/project_out/kernel", "conv_w")
+
+    m["patch_embed.proj.weight"] = ("patch_embed/kernel", "conv_w")
+    for lvl in range(3):
+        for j in range(num_blocks[lvl]):
+            block(f"encoder_levels.{lvl}.{j}", f"enc{lvl + 1}_{j}")
+            block(f"decoder_levels.{lvl}.{j}", f"dec{lvl + 1}_{j}")
+        m[f"downsamples.{lvl}.body.0.weight"] = (f"down{lvl + 1}/kernel", "conv_w")
+        m[f"upsamples.{lvl}.body.0.weight"] = (f"up{lvl + 1}/kernel", "conv_w")
+    for j in range(num_blocks[3]):
+        block(f"central.{j}", f"central_{j}")
+    for j in range(num_refinement_blocks):
+        block(f"refinement.{j}", f"refine_{j}")
+    m["reduce_chan_level3.weight"] = ("reduce_chan_level3/kernel", "conv_w")
+    m["reduce_chan_level2.weight"] = ("reduce_chan_level2/kernel", "conv_w")
+    m["output.weight"] = ("output/kernel", "conv_w")
+    m["last.0.weight"] = ("last_conv/kernel", "conv_w")
+    m["last.0.bias"] = ("last_conv/bias", "bias")
+    m["last.1.beta"] = ("last_swish/beta", "scalar")
+    return m
+
+
+def convert_lptqpn_state_dict(state_dict, num_blocks=(4, 6, 6, 8), num_refinement_blocks=2) -> dict:
+    params: dict = {}
+    for tname, (ours, kind) in _lptqpn_name_map(num_blocks, num_refinement_blocks).items():
+        key = tname if tname in state_dict else "module." + tname
+        if key not in state_dict:
+            raise KeyError(f"missing key in state_dict: {tname}")
+        t = np.asarray(state_dict[key].numpy() if hasattr(state_dict[key], "numpy") else state_dict[key])
+        if kind == "conv_w":
+            _set(params, ours, _conv_w(t))
+        elif kind == "temp":
+            _set(params, ours, t.reshape(-1))
+        elif kind == "scalar":
+            _set(params, ours, t.reshape(()))
+        else:
+            _set(params, ours, t)
+    return params
+
+
+def export_lptqpn_state_dict(params: dict, num_blocks=(4, 6, 6, 8), num_refinement_blocks=2) -> dict:
+    def get(tree, dotted):
+        for p in dotted.split("/"):
+            tree = tree[p]
+        return np.asarray(tree)
+
+    out = {}
+    for tname, (ours, kind) in _lptqpn_name_map(num_blocks, num_refinement_blocks).items():
+        v = get(params, ours)
+        if kind == "conv_w":
+            out[tname] = _conv_w_inv(v)
+        elif kind == "temp":
+            out[tname] = v.reshape(-1, 1, 1)
+        elif kind == "scalar":
+            out[tname] = v.reshape(())
+        else:
+            out[tname] = v
+    return out
+
+
 def export_smaat_state_dict(params: dict, batch_stats: dict) -> dict:
     """Inverse of convert_smaat_state_dict (for round-trip tests)."""
 

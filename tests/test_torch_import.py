@@ -166,6 +166,111 @@ class TestConvLSTMCrossFramework:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def torch_lptqpn_forward(sd, x_np, dim, heads, num_blocks, n_refine, expansion=2.66):
+    """Functional torch execution of LPTQPN (reference graph,
+    LPTQPN.py:264-313) — oracle for pixel shuffle / sigmoid-LN /
+    squared-attention wiring."""
+
+    def to3d(v):
+        b, c, h, w = v.shape
+        return v.permute(0, 2, 3, 1).reshape(b, h * w, c), h, w
+
+    def norm(v, p):
+        f, h, w = to3d(v)
+        mu = f.mean(-1, keepdim=True)
+        var = f.var(-1, unbiased=False, keepdim=True)
+        f = torch.sigmoid((f - mu) / torch.sqrt(var + 1e-5) * _t(sd, f"{p}.body.weight"))
+        return f.reshape(v.shape[0], v.shape[2], v.shape[3], v.shape[1]).permute(0, 3, 1, 2)
+
+    def attn(v, p, nh):
+        b, c, h, w = v.shape
+        qkv = F.conv2d(v, _t(sd, f"{p}.qkv.weight"))
+        qkv = F.conv2d(qkv, _t(sd, f"{p}.qkv_dwconv.weight"), padding=1, groups=c * 3)
+        q, k, vv = qkv.chunk(3, dim=1)
+
+        def heads_(t):
+            return t.reshape(b, nh, c // nh, h * w)
+
+        q, k, vv = heads_(q), heads_(k), heads_(vv)
+        q = F.normalize(q, dim=-1)
+        k = F.normalize(k, dim=-1)
+        a = torch.sigmoid((q @ k.transpose(-2, -1)) * _t(sd, f"{p}.temperature"))
+        out = (a @ vv).reshape(b, c, h, w)
+        return F.conv2d(out, _t(sd, f"{p}.project_out.weight"))
+
+    def ffn(v, p):
+        hidden = int(v.shape[1] * expansion)
+        v = F.conv2d(v, _t(sd, f"{p}.project_in.weight"))
+        v = F.conv2d(v, _t(sd, f"{p}.dwconv.weight"), padding=1, groups=hidden * 2)
+        x1, x2 = v.chunk(2, dim=1)
+        return F.conv2d(F.gelu(x1) * torch.sigmoid(x2), _t(sd, f"{p}.project_out.weight"))
+
+    def block(v, p, nh):
+        v = v + attn(norm(v, f"{p}.norm1"), f"{p}.attn", nh)
+        return v + ffn(norm(v, f"{p}.norm2"), f"{p}.ffn")
+
+    def blocks(v, p, n, nh):
+        for j in range(n):
+            v = block(v, f"{p}.{j}", nh)
+        return v
+
+    def down(v, p):
+        v = F.conv2d(v, _t(sd, f"{p}.body.0.weight"), padding=1)
+        return F.pixel_unshuffle(v, 2)
+
+    def up(v, p):
+        v = F.conv2d(v, _t(sd, f"{p}.body.0.weight"), padding=1)
+        return F.pixel_shuffle(v, 2)
+
+    inp = torch.from_numpy(x_np)  # (B, T, H, W)
+    e1 = F.conv2d(inp, _t(sd, "patch_embed.proj.weight"), padding=1)
+    e1 = blocks(e1, "encoder_levels.0", num_blocks[0], heads[0])
+    e2 = blocks(down(e1, "downsamples.0"), "encoder_levels.1", num_blocks[1], heads[1])
+    e3 = blocks(down(e2, "downsamples.1"), "encoder_levels.2", num_blocks[2], heads[2])
+    central = blocks(down(e3, "downsamples.2"), "central", num_blocks[3], heads[3])
+
+    d3 = torch.cat([up(central, "upsamples.2"), e3], dim=1)
+    d3 = F.conv2d(d3, _t(sd, "reduce_chan_level3.weight"))
+    d3 = blocks(d3, "decoder_levels.2", num_blocks[2], heads[2])
+    d2 = torch.cat([up(d3, "upsamples.1"), e2], dim=1)
+    d2 = F.conv2d(d2, _t(sd, "reduce_chan_level2.weight"))
+    d2 = blocks(d2, "decoder_levels.1", num_blocks[1], heads[1])
+    d1 = torch.cat([up(d2, "upsamples.0"), e1], dim=1)
+    d1 = blocks(d1, "decoder_levels.0", num_blocks[0], heads[0])
+    d1 = blocks(d1, "refinement", n_refine, heads[0])
+    out = F.conv2d(d1, _t(sd, "output.weight"), padding=1)
+    out = out + inp[:, -1].unsqueeze(1)
+    out = F.conv2d(out, _t(sd, "last.0.weight"), _t(sd, "last.0.bias"), padding=1)
+    return (out * torch.sigmoid(_t(sd, "last.1.beta") * out)).numpy()
+
+
+class TestLPTQPNCrossFramework:
+    def test_forward_parity_and_roundtrip(self):
+        from adnm_tpu.models.lptqpn import LPTQPN
+        from adnm_tpu.train.torch_import import (
+            convert_lptqpn_state_dict,
+            export_lptqpn_state_dict,
+        )
+
+        nb, nr, heads = (1, 1, 1, 1), 1, (1, 2, 4, 8)
+        model = LPTQPN(inp_channels=5, out_channels=3, dim=8, num_blocks=nb,
+                       num_refinement_blocks=nr, heads=heads)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 5, 1, 32, 32))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(1), x, train=False
+        )
+        params = jax.device_get(variables["params"])
+        sd = export_lptqpn_state_dict(params, nb, nr)
+        with torch.no_grad():
+            y_torch = torch_lptqpn_forward(sd, np.asarray(x[:, :, 0]), 8, heads, nb, nr)
+        y_ours = np.asarray(model.apply(variables, x, train=False))[:, :, 0]
+        np.testing.assert_allclose(y_ours, y_torch, rtol=1e-3, atol=3e-4)
+
+        p2 = convert_lptqpn_state_dict(sd, nb, nr)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestSmaAtCrossFramework:
     def test_forward_parity_and_roundtrip(self):
         model = SmaAtUNet(n_channels=5, n_classes=3)
