@@ -189,6 +189,87 @@ def export_convlstm_state_dict(params: dict) -> dict:
     return out
 
 
+def _trajgru_name_map() -> Dict[str, Tuple[str, str]]:
+    """TrajGRU EF mapping (reference names from models/TrajGRU.py:
+    same Encoder/Forecaster scaffold as ConvLSTM + per-cell i2h/flow/ret
+    convs, TrajGRU.py:110-145).
+
+    The reference instantiates i2h/i2f_conv1 on every cell but the
+    forecaster's first rnn never receives inputs, so those torch keys
+    are unused there; our flax tree only materializes used params, so
+    they are intentionally absent from the map for f_rnn3."""
+    m: Dict[str, Tuple[str, str]] = {}
+    m["encoder.stage1.conv1_leaky_1.weight"] = ("e1_conv/kernel", "conv_w")
+    m["encoder.stage1.conv1_leaky_1.bias"] = ("e1_conv/bias", "bias")
+    m["encoder.stage2.conv2_leaky_1.weight"] = ("e2_conv/kernel", "conv_w")
+    m["encoder.stage2.conv2_leaky_1.bias"] = ("e2_conv/bias", "bias")
+    m["encoder.stage3.conv3_leaky_1.weight"] = ("e3_conv/kernel", "conv_w")
+    m["encoder.stage3.conv3_leaky_1.bias"] = ("e3_conv/bias", "bias")
+    cells = [
+        ("encoder.rnn1", "e_rnn1", True), ("encoder.rnn2", "e_rnn2", True),
+        ("encoder.rnn3", "e_rnn3", True),
+        ("forecaster.rnn3", "f_rnn3", False),  # rollout cell: no inputs
+        ("forecaster.rnn2", "f_rnn2", True), ("forecaster.rnn1", "f_rnn1", True),
+    ]
+    for t_name, o_name, has_inputs in cells:
+        if has_inputs:
+            m[f"{t_name}.i2h.weight"] = (f"{o_name}/i2h/kernel", "conv_w")
+            m[f"{t_name}.i2h.bias"] = (f"{o_name}/i2h/bias", "bias")
+            m[f"{t_name}.i2f_conv1.weight"] = (f"{o_name}/cell/i2f_conv1/kernel", "conv_w")
+            m[f"{t_name}.i2f_conv1.bias"] = (f"{o_name}/cell/i2f_conv1/bias", "bias")
+        m[f"{t_name}.h2f_conv1.weight"] = (f"{o_name}/cell/h2f_conv1/kernel", "conv_w")
+        m[f"{t_name}.h2f_conv1.bias"] = (f"{o_name}/cell/h2f_conv1/bias", "bias")
+        m[f"{t_name}.flows_conv.weight"] = (f"{o_name}/cell/flows_conv/kernel", "conv_w")
+        m[f"{t_name}.flows_conv.bias"] = (f"{o_name}/cell/flows_conv/bias", "bias")
+        m[f"{t_name}.ret.weight"] = (f"{o_name}/cell/ret/kernel", "conv_w")
+        m[f"{t_name}.ret.bias"] = (f"{o_name}/cell/ret/bias", "bias")
+    m["forecaster.stage3.deconv1_leaky_1.weight"] = ("f_deconv1/kernel", "deconv_w")
+    m["forecaster.stage3.deconv1_leaky_1.bias"] = ("f_deconv1/bias", "bias")
+    m["forecaster.stage2.deconv2_leaky_1.weight"] = ("f_deconv2/kernel", "deconv_w")
+    m["forecaster.stage2.deconv2_leaky_1.bias"] = ("f_deconv2/bias", "bias")
+    m["forecaster.stage1.deconv3_leaky_1.weight"] = ("f_deconv3/kernel", "deconv_w")
+    m["forecaster.stage1.deconv3_leaky_1.bias"] = ("f_deconv3/bias", "bias")
+    m["forecaster.stage1.conv3_leaky_2.weight"] = ("f_conv2/kernel", "conv_w")
+    m["forecaster.stage1.conv3_leaky_2.bias"] = ("f_conv2/bias", "bias")
+    m["forecaster.stage1.conv3_3.weight"] = ("f_conv3/kernel", "conv_w")
+    m["forecaster.stage1.conv3_3.bias"] = ("f_conv3/bias", "bias")
+    return m
+
+
+def convert_trajgru_state_dict(state_dict) -> dict:
+    params: dict = {}
+    for tname, (ours, kind) in _trajgru_name_map().items():
+        key = tname if tname in state_dict else "module." + tname
+        if key not in state_dict:
+            raise KeyError(f"missing key in state_dict: {tname}")
+        t = np.asarray(state_dict[key].numpy() if hasattr(state_dict[key], "numpy") else state_dict[key])
+        if kind == "conv_w":
+            _set(params, ours, _conv_w(t))
+        elif kind == "deconv_w":
+            _set(params, ours, _deconv_w(t))
+        else:
+            _set(params, ours, t)
+    return params
+
+
+def export_trajgru_state_dict(params: dict) -> dict:
+    def get(tree, dotted):
+        for p in dotted.split("/"):
+            tree = tree[p]
+        return np.asarray(tree)
+
+    out = {}
+    for tname, (ours, kind) in _trajgru_name_map().items():
+        v = get(params, ours)
+        if kind == "conv_w":
+            out[tname] = _conv_w_inv(v)
+        elif kind == "deconv_w":
+            out[tname] = np.transpose(v, (2, 3, 0, 1))
+        else:
+            out[tname] = v
+    return out
+
+
 def _lptqpn_name_map(num_blocks=(4, 6, 6, 8), num_refinement_blocks=2) -> Dict[str, Tuple[str, str]]:
     """LPTQPN mapping (reference names from models/LPTQPN.py:205-262).
 

@@ -166,6 +166,113 @@ class TestConvLSTMCrossFramework:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def torch_trajgru_forward(sd, x_np, t_out):
+    """Functional torch execution of the TrajGRU encoder-forecaster
+    (reference graph, TrajGRU.py:150-343) incl. the grid_sample warp."""
+
+    def leaky(v):
+        return F.leaky_relu(v, 0.2)
+
+    def wrap(inp, flow):
+        B, C, H, W = inp.shape
+        xx = torch.arange(W).view(1, -1).repeat(H, 1)
+        yy = torch.arange(H).view(-1, 1).repeat(1, W)
+        grid = torch.stack([xx, yy]).unsqueeze(0).float().repeat(B, 1, 1, 1)
+        vgrid = grid + flow
+        vgrid[:, 0] = 2.0 * vgrid[:, 0] / max(W - 1, 1) - 1.0
+        vgrid[:, 1] = 2.0 * vgrid[:, 1] / max(H - 1, 1) - 1.0
+        return F.grid_sample(inp, vgrid.permute(0, 2, 3, 1), align_corners=True)
+
+    def cell_roll(p, xs, state, steps, nf, L, h, w, batch):
+        if state is None:
+            state = torch.zeros(batch, nf, h, w)
+        i2h_seq = None
+        if xs is not None:
+            t, bb = xs.shape[0], xs.shape[1]
+            i2h_seq = F.conv2d(
+                xs.reshape(t * bb, *xs.shape[2:]),
+                _t(sd, f"{p}.i2h.weight"), _t(sd, f"{p}.i2h.bias"), padding=1,
+            ).reshape(t, bb, -1, h, w)
+        hh = state
+        outs = []
+        for i in range(steps):
+            f = F.conv2d(hh, _t(sd, f"{p}.h2f_conv1.weight"), _t(sd, f"{p}.h2f_conv1.bias"), padding=2)
+            if xs is not None:
+                f = f + F.conv2d(xs[i], _t(sd, f"{p}.i2f_conv1.weight"), _t(sd, f"{p}.i2f_conv1.bias"), padding=2)
+            flows = F.conv2d(leaky(f), _t(sd, f"{p}.flows_conv.weight"), _t(sd, f"{p}.flows_conv.bias"), padding=2)
+            warped = torch.cat([wrap(hh, -fl) for fl in torch.split(flows, 2, dim=1)], dim=1)
+            h2h = F.conv2d(warped, _t(sd, f"{p}.ret.weight"), _t(sd, f"{p}.ret.bias"))
+            hr, hu, hm = torch.split(h2h, nf, dim=1)
+            if i2h_seq is not None:
+                ir, iu, im = torch.split(i2h_seq[i], nf, dim=1)
+                r = torch.sigmoid(ir + hr)
+                u = torch.sigmoid(iu + hu)
+                mem = leaky(im + r * hm)
+            else:
+                r = torch.sigmoid(hr)
+                u = torch.sigmoid(hu)
+                mem = leaky(r * hm)
+            hh = u * hh + (1 - u) * mem
+            outs.append(hh)
+        return torch.stack(outs), hh
+
+    x = torch.from_numpy(np.ascontiguousarray(x_np))
+    b, t_in, H = x.shape[0], x.shape[1], x.shape[3]
+    seq = x[:, :, 0].unsqueeze(2).permute(1, 0, 2, 3, 4)
+
+    def apply_seq(fn, v):
+        t, bb = v.shape[0], v.shape[1]
+        out = fn(v.reshape(t * bb, *v.shape[2:]))
+        return out.reshape(t, bb, *out.shape[1:])
+
+    s1, s2, s3 = H // 4, H // 16, H // 32
+    e1 = apply_seq(lambda v: leaky(F.conv2d(v, _t(sd, "encoder.stage1.conv1_leaky_1.weight"), _t(sd, "encoder.stage1.conv1_leaky_1.bias"), stride=4, padding=1)), seq)
+    o1, st1 = cell_roll("encoder.rnn1", e1, None, t_in, 64, 13, s1, s1, b)
+    e2 = apply_seq(lambda v: leaky(F.conv2d(v, _t(sd, "encoder.stage2.conv2_leaky_1.weight"), _t(sd, "encoder.stage2.conv2_leaky_1.bias"), stride=4, padding=1)), o1)
+    o2, st2 = cell_roll("encoder.rnn2", e2, None, t_in, 192, 13, s2, s2, b)
+    e3 = apply_seq(lambda v: leaky(F.conv2d(v, _t(sd, "encoder.stage3.conv3_leaky_1.weight"), _t(sd, "encoder.stage3.conv3_leaky_1.bias"), stride=2, padding=1)), o2)
+    o3, st3 = cell_roll("encoder.rnn3", e3, None, t_in, 192, 9, s3, s3, b)
+
+    f3, _ = cell_roll("forecaster.rnn3", None, st3, t_out, 192, 13, s3, s3, b)
+    d1 = apply_seq(lambda v: leaky(F.conv_transpose2d(v, _t(sd, "forecaster.stage3.deconv1_leaky_1.weight"), _t(sd, "forecaster.stage3.deconv1_leaky_1.bias"), stride=2, padding=1)), f3)
+    f2, _ = cell_roll("forecaster.rnn2", d1, st2, t_out, 192, 13, s2, s2, b)
+    d2 = apply_seq(lambda v: leaky(F.conv_transpose2d(v, _t(sd, "forecaster.stage2.deconv2_leaky_1.weight"), _t(sd, "forecaster.stage2.deconv2_leaky_1.bias"), stride=4, padding=1)), f2)
+    f1, _ = cell_roll("forecaster.rnn1", d2, st1, t_out, 64, 9, s1, s1, b)
+
+    def head(v):
+        v = leaky(F.conv_transpose2d(v, _t(sd, "forecaster.stage1.deconv3_leaky_1.weight"), _t(sd, "forecaster.stage1.deconv3_leaky_1.bias"), stride=4, padding=1))
+        v = leaky(F.conv2d(v, _t(sd, "forecaster.stage1.conv3_leaky_2.weight"), _t(sd, "forecaster.stage1.conv3_leaky_2.bias"), padding=1))
+        return F.conv2d(v, _t(sd, "forecaster.stage1.conv3_3.weight"), _t(sd, "forecaster.stage1.conv3_3.bias"))
+
+    out = apply_seq(head, f1)
+    return out.permute(1, 0, 2, 3, 4).numpy()
+
+
+class TestTrajGRUCrossFramework:
+    def test_forward_parity_and_roundtrip(self):
+        from adnm_tpu.models.traj_gru import create_traj_gru
+        from adnm_tpu.train.torch_import import (
+            convert_trajgru_state_dict,
+            export_trajgru_state_dict,
+        )
+
+        model = create_traj_gru(3)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 5, 1, 64, 64))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(1), x, train=False
+        )
+        params = jax.device_get(variables["params"])
+        sd = export_trajgru_state_dict(params)
+        with torch.no_grad():
+            y_torch = torch_trajgru_forward(sd, np.asarray(x), 3)
+        y_ours = np.asarray(model.apply(variables, x, train=False))
+        np.testing.assert_allclose(y_ours, y_torch, rtol=2e-3, atol=5e-4)
+
+        p2 = convert_trajgru_state_dict(sd)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def torch_lptqpn_forward(sd, x_np, dim, heads, num_blocks, n_refine, expansion=2.66):
     """Functional torch execution of LPTQPN (reference graph,
     LPTQPN.py:264-313) — oracle for pixel shuffle / sigmoid-LN /
