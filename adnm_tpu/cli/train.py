@@ -10,7 +10,7 @@ from __future__ import annotations
 import argparse
 import os
 
-from adnm_tpu.cli.common import add_common_args, build, task_shape
+from adnm_tpu.cli.common import add_common_args, build
 from adnm_tpu.metrics import SimplifiedEvaluator
 from adnm_tpu.train.checkpoint import best_ckpt_dir
 

@@ -14,14 +14,13 @@ filter banks.
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from adnm_tpu.core.layers import Conv2d, ConvLayer, scalar_param, _NORMS, _ACTS
+from adnm_tpu.core.layers import Conv2d, scalar_param, _NORMS, _ACTS
 
 
 def haar_dwt(x: jax.Array) -> jax.Array:

@@ -20,7 +20,7 @@ pretrained weights, so LPIPS reports NaN unless weights are provided
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ img1^2, img2^2, img1*img2 in one conv), on device.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

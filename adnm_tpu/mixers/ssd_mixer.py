@@ -35,7 +35,7 @@ Reference: models/ADNssd.py:49-462 (Mamba2). Per token grid
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ chunked scan, then y = LayerNorm(y) * z gate and out_proj.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

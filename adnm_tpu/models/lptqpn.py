@@ -13,13 +13,13 @@ Contract: (B, T_in, 1, H, W) -> (B, out_channels, 1, H, W).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from adnm_tpu.core.layers import Conv2d, Swish, scalar_param
+from adnm_tpu.core.layers import Conv2d, Swish
 
 
 def pixel_unshuffle(x: jax.Array, r: int = 2) -> jax.Array:

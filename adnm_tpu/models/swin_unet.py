@@ -18,7 +18,6 @@ mask is a static numpy precompute; cyclic shift via jnp.roll.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax

@@ -25,7 +25,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from adnm_tpu.ops.ssd import ssd_chunked_scan
 

@@ -21,7 +21,6 @@ path, ADNssd.py:278-284); D (H,) skip.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

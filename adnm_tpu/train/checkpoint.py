@@ -14,7 +14,7 @@ with the target's and keeps target values for anything missing.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import orbax.checkpoint as ocp

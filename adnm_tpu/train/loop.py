@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-from flax.core import FrozenDict
 
 from adnm_tpu.train import checkpoint as ckpt
 from adnm_tpu.train.presets import TrainPreset

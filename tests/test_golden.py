@@ -5,7 +5,6 @@ refactors (CPU, highest matmul precision via conftest)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 
 def _stats(y):

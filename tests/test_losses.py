@@ -2,7 +2,6 @@
 (formulas from reference models/loss.py)."""
 
 import numpy as np
-import pytest
 
 from adnm_tpu.losses import (
     en_rainfall_loss,

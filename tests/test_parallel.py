@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from adnm_tpu.ops.ssd import linear_attn_dual
-from adnm_tpu.parallel import batch_sharding, make_mesh, replicated
+from adnm_tpu.parallel import make_mesh
 from adnm_tpu.parallel.seq_shard import sharded_linear_attn_dual
 
 pytestmark = pytest.mark.skipif(
