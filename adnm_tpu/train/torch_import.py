@@ -189,6 +189,99 @@ def export_convlstm_state_dict(params: dict) -> dict:
     return out
 
 
+def _transunet_name_map(block_units=(3, 4, 9), num_layers=12) -> Dict[str, Tuple[str, str]]:
+    """TransUnet mapping (reference names from models/TransUnet.py:
+    ResNetV2 :122-150, ViT Encoder :550-567, DecoderCup :649-676,
+    SegmentationHead :641-646)."""
+    m: Dict[str, Tuple[str, str]] = {}
+    E = "transformer.embeddings"
+    m[f"{E}.hybrid_model.root.conv.weight"] = ("hybrid_model/root_conv/kernel", "conv_w")
+    m[f"{E}.hybrid_model.root.gn.weight"] = ("hybrid_model/root_gn/weight", "bias")
+    m[f"{E}.hybrid_model.root.gn.bias"] = ("hybrid_model/root_gn/bias", "bias")
+    for bi, units in enumerate(block_units):
+        for ui in range(units):
+            tp = f"{E}.hybrid_model.body.block{bi + 1}.unit{ui + 1}"
+            op = f"hybrid_model/block{bi + 1}_unit{ui + 1}"
+            for conv in ("conv1", "conv2", "conv3"):
+                m[f"{tp}.{conv}.weight"] = (f"{op}/{conv}/kernel", "conv_w")
+            for gn in ("gn1", "gn2", "gn3"):
+                m[f"{tp}.{gn}.weight"] = (f"{op}/{gn}/weight", "bias")
+                m[f"{tp}.{gn}.bias"] = (f"{op}/{gn}/bias", "bias")
+            if ui == 0:  # projection shortcut (stride or width change)
+                m[f"{tp}.downsample.weight"] = (f"{op}/downsample/kernel", "conv_w")
+                m[f"{tp}.gn_proj.weight"] = (f"{op}/gn_proj/weight", "bias")
+                m[f"{tp}.gn_proj.bias"] = (f"{op}/gn_proj/bias", "bias")
+    m[f"{E}.patch_embeddings.weight"] = ("patch_embeddings/kernel", "conv_w")
+    m[f"{E}.patch_embeddings.bias"] = ("patch_embeddings/bias", "bias")
+    m[f"{E}.position_embeddings"] = ("position_embeddings", "bias")
+    for i in range(num_layers):
+        tp = f"transformer.encoder.layer.{i}"
+        op = f"block_{i}"
+        for nm in ("attention_norm", "ffn_norm"):
+            m[f"{tp}.{nm}.weight"] = (f"{op}/{nm}/scale", "bias")
+            m[f"{tp}.{nm}.bias"] = (f"{op}/{nm}/bias", "bias")
+        for lin_t, lin_o in (("attn.query", "query"), ("attn.key", "key"),
+                             ("attn.value", "value"), ("attn.out", "out"),
+                             ("ffn.fc1", "fc1"), ("ffn.fc2", "fc2")):
+            m[f"{tp}.{lin_t}.weight"] = (f"{op}/{lin_o}/kernel", "lin_w")
+            m[f"{tp}.{lin_t}.bias"] = (f"{op}/{lin_o}/bias", "bias")
+    m["transformer.encoder.encoder_norm.weight"] = ("encoder_norm/scale", "bias")
+    m["transformer.encoder.encoder_norm.bias"] = ("encoder_norm/bias", "bias")
+    # DecoderCup: Conv2dReLU is Sequential(conv, bn, relu)
+    def conv2drelu(tp, op):
+        m[f"{tp}.0.weight"] = (f"{op}/conv/kernel", "conv_w")
+        m[f"{tp}.1.weight"] = (f"{op}/bn/weight", "bn_w")
+        m[f"{tp}.1.bias"] = (f"{op}/bn/bias", "bn_b")
+        m[f"{tp}.1.running_mean"] = (f"{op}/bn/mean", "bn_mean")
+        m[f"{tp}.1.running_var"] = (f"{op}/bn/var", "bn_var")
+
+    conv2drelu("decoder.conv_more", "conv_more")
+    for i in range(4):
+        conv2drelu(f"decoder.blocks.{i}.conv1", f"dec{i}_conv1")
+        conv2drelu(f"decoder.blocks.{i}.conv2", f"dec{i}_conv2")
+    m["segmentation_head.0.weight"] = ("segmentation_head/kernel", "conv_w")
+    m["segmentation_head.0.bias"] = ("segmentation_head/bias", "bias")
+    return m
+
+
+def convert_transunet_state_dict(state_dict, block_units=(3, 4, 9), num_layers=12) -> Tuple[dict, dict]:
+    params: dict = {}
+    stats: dict = {}
+    for tname, (ours, kind) in _transunet_name_map(block_units, num_layers).items():
+        key = tname if tname in state_dict else "module." + tname
+        if key not in state_dict:
+            raise KeyError(f"missing key in state_dict: {tname}")
+        t = np.asarray(state_dict[key].numpy() if hasattr(state_dict[key], "numpy") else state_dict[key])
+        if kind == "conv_w":
+            _set(params, ours, _conv_w(t))
+        elif kind == "lin_w":
+            _set(params, ours, _lin_w(t))
+        elif kind in ("bn_mean", "bn_var"):
+            _set(stats, ours, t)
+        else:
+            _set(params, ours, t)
+    return params, stats
+
+
+def export_transunet_state_dict(params: dict, batch_stats: dict, block_units=(3, 4, 9), num_layers=12) -> dict:
+    def get(tree, dotted):
+        for p in dotted.split("/"):
+            tree = tree[p]
+        return np.asarray(tree)
+
+    out = {}
+    for tname, (ours, kind) in _transunet_name_map(block_units, num_layers).items():
+        if kind == "conv_w":
+            out[tname] = _conv_w_inv(get(params, ours))
+        elif kind == "lin_w":
+            out[tname] = np.transpose(get(params, ours), (1, 0))
+        elif kind in ("bn_mean", "bn_var"):
+            out[tname] = get(batch_stats, ours)
+        else:
+            out[tname] = get(params, ours)
+    return out
+
+
 def _trajgru_name_map() -> Dict[str, Tuple[str, str]]:
     """TrajGRU EF mapping (reference names from models/TrajGRU.py:
     same Encoder/Forecaster scaffold as ConvLSTM + per-cell i2h/flow/ret
