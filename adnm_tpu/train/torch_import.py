@@ -189,6 +189,98 @@ def export_convlstm_state_dict(params: dict) -> dict:
     return out
 
 
+def _swinunet_name_map(depths=(2, 2, 2, 2)) -> Dict[str, Tuple[str, str]]:
+    """SwinUnet mapping (reference names from models/SwinUnet.py:
+    SwinTransformerSys :884-957 under the ``swin_unet`` wrapper attr;
+    decoder blocks use encoder depths — the reference quirk)."""
+    m: Dict[str, Tuple[str, str]] = {}
+    nl = len(depths)
+
+    def blk(tp, op):
+        m[f"{tp}.norm1.weight"] = (f"{op}/norm1/scale", "bias")
+        m[f"{tp}.norm1.bias"] = (f"{op}/norm1/bias", "bias")
+        m[f"{tp}.attn.relative_position_bias_table"] = (f"{op}/attn/relative_position_bias_table", "bias")
+        m[f"{tp}.attn.qkv.weight"] = (f"{op}/attn/qkv/kernel", "lin_w")
+        m[f"{tp}.attn.qkv.bias"] = (f"{op}/attn/qkv/bias", "bias")
+        m[f"{tp}.attn.proj.weight"] = (f"{op}/attn/proj/kernel", "lin_w")
+        m[f"{tp}.attn.proj.bias"] = (f"{op}/attn/proj/bias", "bias")
+        m[f"{tp}.norm2.weight"] = (f"{op}/norm2/scale", "bias")
+        m[f"{tp}.norm2.bias"] = (f"{op}/norm2/bias", "bias")
+        m[f"{tp}.mlp.fc1.weight"] = (f"{op}/fc1/kernel", "lin_w")
+        m[f"{tp}.mlp.fc1.bias"] = (f"{op}/fc1/bias", "bias")
+        m[f"{tp}.mlp.fc2.weight"] = (f"{op}/fc2/kernel", "lin_w")
+        m[f"{tp}.mlp.fc2.bias"] = (f"{op}/fc2/bias", "bias")
+
+    S = "swin_unet"
+    m[f"{S}.patch_embed.proj.weight"] = (f"{S}/patch_embed_proj/kernel", "conv_w")
+    m[f"{S}.patch_embed.proj.bias"] = (f"{S}/patch_embed_proj/bias", "bias")
+    m[f"{S}.patch_embed.norm.weight"] = (f"{S}/patch_embed_norm/scale", "bias")
+    m[f"{S}.patch_embed.norm.bias"] = (f"{S}/patch_embed_norm/bias", "bias")
+    for l in range(nl):
+        for i in range(depths[l]):
+            blk(f"{S}.layers.{l}.blocks.{i}", f"{S}/layer{l}_blk{i}")
+        if l < nl - 1:
+            m[f"{S}.layers.{l}.downsample.reduction.weight"] = (f"{S}/merge{l}/reduction/kernel", "lin_w")
+            m[f"{S}.layers.{l}.downsample.norm.weight"] = (f"{S}/merge{l}/norm/scale", "bias")
+            m[f"{S}.layers.{l}.downsample.norm.bias"] = (f"{S}/merge{l}/norm/bias", "bias")
+    # decoder
+    m[f"{S}.layers_up.0.expand.weight"] = (f"{S}/up0/expand/kernel", "lin_w")
+    m[f"{S}.layers_up.0.norm.weight"] = (f"{S}/up0/norm/scale", "bias")
+    m[f"{S}.layers_up.0.norm.bias"] = (f"{S}/up0/norm/bias", "bias")
+    for l in range(1, nl):
+        inv = nl - 1 - l
+        for i in range(depths[inv]):
+            blk(f"{S}.layers_up.{l}.blocks.{i}", f"{S}/layer_up{l}_blk{i}")
+        m[f"{S}.concat_back_dim.{l}.weight"] = (f"{S}/concat_back_dim{l}/kernel", "lin_w")
+        m[f"{S}.concat_back_dim.{l}.bias"] = (f"{S}/concat_back_dim{l}/bias", "bias")
+        if l < nl - 1:
+            m[f"{S}.layers_up.{l}.upsample.expand.weight"] = (f"{S}/up{l}/expand/kernel", "lin_w")
+            m[f"{S}.layers_up.{l}.upsample.norm.weight"] = (f"{S}/up{l}/norm/scale", "bias")
+            m[f"{S}.layers_up.{l}.upsample.norm.bias"] = (f"{S}/up{l}/norm/bias", "bias")
+    for nm, onm in (("norm", "norm"), ("norm_up", "norm_up")):
+        m[f"{S}.{nm}.weight"] = (f"{S}/{onm}/scale", "bias")
+        m[f"{S}.{nm}.bias"] = (f"{S}/{onm}/bias", "bias")
+    m[f"{S}.up.expand.weight"] = (f"{S}/up_final/expand/kernel", "lin_w")
+    m[f"{S}.up.norm.weight"] = (f"{S}/up_final/norm/scale", "bias")
+    m[f"{S}.up.norm.bias"] = (f"{S}/up_final/norm/bias", "bias")
+    m[f"{S}.output.weight"] = (f"{S}/output/kernel", "conv_w")
+    return m
+
+
+def convert_swinunet_state_dict(state_dict, depths=(2, 2, 2, 2)) -> dict:
+    params: dict = {}
+    for tname, (ours, kind) in _swinunet_name_map(depths).items():
+        key = tname if tname in state_dict else "module." + tname
+        if key not in state_dict:
+            raise KeyError(f"missing key in state_dict: {tname}")
+        t = np.asarray(state_dict[key].numpy() if hasattr(state_dict[key], "numpy") else state_dict[key])
+        if kind == "conv_w":
+            _set(params, ours, _conv_w(t))
+        elif kind == "lin_w":
+            _set(params, ours, _lin_w(t))
+        else:
+            _set(params, ours, t)
+    return params
+
+
+def export_swinunet_state_dict(params: dict, depths=(2, 2, 2, 2)) -> dict:
+    def get(tree, dotted):
+        for p in dotted.split("/"):
+            tree = tree[p]
+        return np.asarray(tree)
+
+    out = {}
+    for tname, (ours, kind) in _swinunet_name_map(depths).items():
+        v = get(params, ours)
+        if kind == "conv_w":
+            out[tname] = _conv_w_inv(v)
+        elif kind == "lin_w":
+            out[tname] = np.transpose(v, (1, 0))
+        else:
+            out[tname] = v
+    return out
+
+
 def _transunet_name_map(block_units=(3, 4, 9), num_layers=12) -> Dict[str, Tuple[str, str]]:
     """TransUnet mapping (reference names from models/TransUnet.py:
     ResNetV2 :122-150, ViT Encoder :550-567, DecoderCup :649-676,
