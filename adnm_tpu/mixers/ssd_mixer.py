@@ -6,17 +6,14 @@ Reference: models/ADNssd.py:49-462 (Mamba2). Per token grid
   1. in_proj -> [z | xBC | dt] (ADNssd.py:100-101,309,315-317).
   2. Dual path: the reference splits xBC channels by even/odd index with
      gather ops (ADNssd.py:329-364) — hostile to TPU tiling. Because
-     in_proj/out_proj are learned from scratch, the even/odd interleave
-     is a fixed channel permutation absorbable into the adjacent weight
+     in_proj/out_proj are learned from scratch, the even/odd split is a
+     fixed channel permutation absorbable into the adjacent weight
      matrices, so this implementation lays the two paths out as
-     CONTIGUOUS halves (path1 == "even", path2 == "odd"): no gathers, no
-     scatter re-interleave. Path1 and the overall structure are exactly
-     permutation-equivalent; within path2, the reference's re-interleave
-     makes each scan head mix channels from both asymmetric-conv
-     flavors, whereas here each head is uniform in one flavor (both are
-     fixed sparse wirings of identical ops/parameter counts; per-head
-     dt/A are learned either way) — a deliberate layout choice, not an
-     approximation of capacity.
+     CONTIGUOUS halves (path1 == "even", path2 == "odd") and re-creates
+     the reference's within-path2 re-interleave as a pure stack+reshape
+     (no gathers/scatters). The full mixer is exactly
+     permutation-equivalent to the reference graph: every scan head sees
+     the same conv-flavor channel composition as the reference's.
   3. path1: depthwise 3x3 conv + SiLU (ADNssd.py:177-185,334).
      path2: two sub-chunks, each with asymmetric separable depthwise
      convs (1x3 o 3x1 vs 3x1 o 1x3, separate kernels for the x and BC
@@ -130,14 +127,20 @@ class ADNSSDMixer(nn.Module):
         bc2a = sep(bc2a, qbc, (1, 3), (3, 1), "conv_bc1")  # conv_31_bc1(conv_13_bc1(.))
         bc2b = sep(bc2b, qbc, (3, 1), (1, 3), "conv_bc2")  # conv_13_bc2(conv_31_bc2(.))
 
-        # split each path into x / B / C (B and C draw from both conv
-        # flavors — the contiguous analog of the reference re-interleave)
+        # Re-assemble path2 with the reference's channel interleave
+        # (odd_part[:, ::2] = xbc_oe, [:, 1::2] = xbc_oo, ADNssd.py:354-364)
+        # as a pure stack+reshape — each scan head mixes both asymmetric-
+        # conv flavors exactly as in the reference, so the whole mixer is
+        # permutation-equivalent to the reference graph.
+        def interleave(a, b):
+            return jnp.stack([a, b], axis=-1).reshape(*a.shape[:-1], a.shape[-1] * 2)
+
         x1 = xBC1[..., : d_inner // 2]
         B1 = xBC1[..., d_inner // 2 : d_inner // 2 + gN // 2]
         C1 = xBC1[..., d_inner // 2 + gN // 2 :]
-        x2 = jnp.concatenate([x2a, x2b], axis=-1)
-        B2 = jnp.concatenate([bc2a[..., : qbc // 2], bc2b[..., : qbc // 2]], axis=-1)
-        C2 = jnp.concatenate([bc2a[..., qbc // 2 :], bc2b[..., qbc // 2 :]], axis=-1)
+        x2 = interleave(x2a, x2b)
+        B2 = interleave(bc2a[..., : qbc // 2], bc2b[..., : qbc // 2])
+        C2 = interleave(bc2a[..., qbc // 2 :], bc2b[..., qbc // 2 :])
 
         # dt / A / D head-halves
         hh = nheads // 2
@@ -177,7 +180,10 @@ class ADNSSDMixer(nn.Module):
 
         y1 = scan(x1, dt1, A1, B1, C1, D1, reverse=False)
         y2 = scan(x2, dt2, A2, B2, C2, D2, reverse=self.bimamba)
-        y = jnp.concatenate([y1, y2], axis=-1)  # (B, L, d_inner)
+        # channel-interleaved merge (reference y[..., ::2]=y1, ADNssd.py:409-411)
+        y = jnp.stack([
+            y1.reshape(b, l, -1), y2.reshape(b, l, -1)
+        ], axis=-1).reshape(b, l, d_inner)
 
         # LayerNorm with bias, torch eps (ADNssd.py:226,456)
         y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
