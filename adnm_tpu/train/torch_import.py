@@ -189,6 +189,36 @@ def export_convlstm_state_dict(params: dict) -> dict:
     return out
 
 
+def adnssd_mixer_permutations(d_model: int, headdim: int, ngroups: int = 2, d_state: int = 16, expand: int = 2):
+    """Channel permutations relating our contiguous ADN-SSD layout to the
+    reference's even/odd interleave (reference: models/ADNssd.py:329-386).
+
+    Returns (xbc_perm, head_perm) with
+      ours_xBC[j] == reference_xBC[xbc_perm[j]]
+      ours_dt[h]  == reference_dt[head_perm[h]]   (same for A_log, D, dt_bias)
+    Used by the mixer-level parity test and a future full-ADNM importer.
+    """
+    d_inner = expand * d_model
+    gN = ngroups * d_state
+    conv_dim = d_inner + 2 * gN
+    half = conv_dim // 2
+    qx = d_inner // 4
+    qbc = gN // 2
+    perm = np.zeros(conv_dim, np.int64)
+    # path1 ("even"): ours[:half] = reference even channels
+    perm[:half] = 2 * np.arange(half)
+    # path2 quarters [x2a | x2b | bc2a | bc2b] == [x_oe | x_oo | bc_oe | bc_oo]
+    base = half
+    perm[base : base + qx] = 1 + 4 * np.arange(qx)                       # x_oe = odd[::2][:qx]
+    perm[base + qx : base + 2 * qx] = 3 + 4 * np.arange(qx)              # x_oo = odd[1::2][:qx]
+    perm[base + 2 * qx : base + 2 * qx + qbc] = 1 + 4 * (qx + np.arange(qbc))   # bc_oe
+    perm[base + 2 * qx + qbc :] = 3 + 4 * (qx + np.arange(qbc))          # bc_oo
+    nheads = d_inner // headdim
+    hh = nheads // 2
+    head_perm = np.concatenate([2 * np.arange(hh), 2 * np.arange(hh) + 1])
+    return perm, head_perm
+
+
 def _swinunet_name_map(depths=(2, 2, 2, 2)) -> Dict[str, Tuple[str, str]]:
     """SwinUnet mapping (reference names from models/SwinUnet.py:
     SwinTransformerSys :884-957 under the ``swin_unet`` wrapper attr;
