@@ -9,7 +9,7 @@ Usage:
 
 Writes {out}/model_params/Shanghai/{model}/{model}_best in our layout
 (fresh optimizer state; params + batch stats from the torch file).
-Supported: SmaATUnet, ConvLSTM, TrajGRU, LPTQPN, TransUnet, SwinUnet.
+Supported: all seven models (ADNMUnet included).
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ sys.path.insert(0, ".")
 def main(argv=None):
     p = argparse.ArgumentParser("convert-reference-ckpt")
     p.add_argument("--model", required=True,
-                   choices=["SmaATUnet", "ConvLSTM", "TrajGRU", "LPTQPN", "TransUnet", "SwinUnet"])
+                   choices=["SmaATUnet", "ConvLSTM", "TrajGRU", "LPTQPN", "TransUnet", "SwinUnet", "ADNMUnet"])
     p.add_argument("--pth", required=True)
     p.add_argument("--out", default="runs")
     p.add_argument("--dataset", default="Shanghai")
@@ -62,6 +62,10 @@ def main(argv=None):
         params, stats = ti.convert_transunet_state_dict(sd)
     elif args.model == "SwinUnet":
         params = ti.convert_swinunet_state_dict(sd)
+    elif args.model == "ADNMUnet":
+        from adnm_tpu.train.adnm_import import convert_adnm_state_dict
+
+        params = convert_adnm_state_dict(sd)
 
     # structural check: every imported leaf must match the model's tree
     import jax
