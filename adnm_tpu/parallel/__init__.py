@@ -1,1 +1,6 @@
-from adnm_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from adnm_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    provision_cpu_devices,
+    replicated,
+)

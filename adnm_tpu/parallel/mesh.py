@@ -27,11 +27,47 @@ def make_mesh(
 ) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            f"make_mesh: asked for {n} devices but only {len(devs)} "
+            f"{devs[0].platform} device(s) are visible. For a virtual CPU "
+            f"mesh, provision BEFORE first backend use: "
+            f'jax.config.update("jax_num_cpu_devices", {n}); '
+            f'jax.config.update("jax_platforms", "cpu") '
+            f"(see adnm_tpu.parallel.provision_cpu_devices)."
+        )
     devs = devs[:n]
     if shape is None:
         shape = [n] + [1] * (len(axes) - 1)
     arr = np.asarray(devs).reshape(shape)
     return Mesh(arr, tuple(axes))
+
+
+def provision_cpu_devices(n_devices: int) -> bool:
+    """Force the CPU platform with ``n_devices`` virtual devices, if the
+    JAX backend has not been initialized yet (the standard fake-mesh
+    technique for validating multi-chip sharding without hardware).
+
+    Returns True if after the call ``len(jax.devices()) >= n_devices``.
+    Must run before any JAX operation touches a backend; this container
+    pins ``jax_platforms=axon`` via sitecustomize, so the config update
+    (not the env var) is the only reliable switch.
+    """
+    from jax._src import xla_bridge as _xb
+
+    if not getattr(_xb, "_backends", None):
+        try:
+            jax.config.update("jax_num_cpu_devices", n_devices)
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            import os
+
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={n_devices}"
+            ).strip()
+            os.environ["JAX_PLATFORMS"] = "cpu"
+    return len(jax.devices()) >= n_devices
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
