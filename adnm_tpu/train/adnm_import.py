@@ -100,15 +100,27 @@ class _Map:
         for nm in names:
             self.add(f"{tp}.{nm}", f"{op}/{nm}", "scalar")
 
-    def patch_embed(self, tp, op, levels):
+    def groupnorm(self, tp, op):
+        """Affine GroupNorm params, present only when the model is built
+        with InstanceNorm=False (reference: model_untils.py:284,371,741,
+        814 — nn.GroupNorm(4, c) has affine weight/bias, nn.InstanceNorm2d
+        does not)."""
+        self.add(f"{tp}.norm.weight", f"{op}/GroupNorm_0/weight", "bias")
+        self.add(f"{tp}.norm.bias", f"{op}/GroupNorm_0/bias", "bias")
+
+    def patch_embed(self, tp, op, levels, instance_norm=True):
         self.add(f"{tp}.gamma", f"{op}/gamma", "bias")
         self.wtconvlayer(f"{tp}.conv1.0", f"{op}/conv1", levels, bias=False, norm=False)
         self.convlayer(f"{tp}.conv2.0", f"{op}/conv2", bias=False)
         self.wtconvlayer(f"{tp}.conv3.0", f"{op}/conv3", levels, bias=False, norm=True)
+        if not instance_norm:
+            self.groupnorm(f"{tp}.conv3.0", f"{op}/conv3")
         self.scalars(tp, op, ("alpha1", "beta1", "alpha2", "beta2"))
 
-    def wtlayer(self, tp, op, levels):
+    def wtlayer(self, tp, op, levels, instance_norm=True):
         self.wtconvlayer(f"{tp}.wtconv", f"{op}/wtconv", levels, bias=True, norm=True)
+        if not instance_norm:
+            self.groupnorm(f"{tp}.wtconv", f"{op}/wtconv")
         self.convlayer(f"{tp}.conv", f"{op}/conv")
         self.mlp(f"{tp}.mlp", f"{op}/mlp")
         self.add(f"{tp}.gamma", f"{op}/gamma", "bias")
@@ -177,7 +189,7 @@ class _Map:
             self.add(f"{tp}.att{i}.bias", f"{op}/att{i}/bias", "bias")
         self.gate(f"{tp}.sigmoid1", f"{op}/sigmoid1")
 
-    def encoder_to_decoder(self, tp, op):
+    def encoder_to_decoder(self, tp, op, instance_norm=True):
         self.convlayer(f"{tp}.conv13pool", f"{op}/conv13pool")
         self.convlayer(f"{tp}.ffd13", f"{op}/ffd13")
         self.gate(f"{tp}.act_func13", f"{op}/act_func13")
@@ -188,12 +200,16 @@ class _Map:
         self.feedforward(f"{tp}.ffd", f"{op}/ffd")
         self.gate(f"{tp}.act", f"{op}/act")
         self.convffd(f"{tp}.mlp", f"{op}/mlp")
+        if not instance_norm:
+            self.groupnorm(tp, op)
         self.add(f"{tp}.gamma", f"{op}/gamma", "bias")
         self.scalars(tp, op, ("alpha1", "alpha2", "alpha3", "gama", "scale", "shift"))
         # reference ffd31/act_func31/conv33 are dead (:776-777) — ignored
 
-    def out_proj_head(self, tp, op):
+    def out_proj_head(self, tp, op, instance_norm=True):
         self.wtconvlayer(f"{tp}.wtconv", f"{op}/wtconv", 3, bias=False, norm=True)
+        if not instance_norm:
+            self.groupnorm(f"{tp}.wtconv", f"{op}/wtconv")
         self.convlayer(f"{tp}.conv.0", f"{op}/conv_expand", bias=False)
         self.convlayer(f"{tp}.conv.1", f"{op}/conv_frames", bias=False)
         self.convlayer(f"{tp}.conv2", f"{op}/conv2", bias=False, swish_act=True)
@@ -209,13 +225,14 @@ def adnm_name_map(
     refine_headdim=(4, 4, 4, 4),
     depth=(1, 1, 1),
     refine_depth=(1, 1, 1, 1),
+    instance_norm=True,
 ):
     m = _Map()
     ed = list(embed_dim)
     # ----- encoder (reference: ADNMUNet.py:337-483) --------------------
-    m.patch_embed("encoder.encoder1", "encoder/encoder1", wt_levels[0])
-    m.wtlayer("encoder.encoder2", "encoder/encoder2", wt_levels[1])
-    m.wtlayer("encoder.encoder3", "encoder/encoder3", wt_levels[2])
+    m.patch_embed("encoder.encoder1", "encoder/encoder1", wt_levels[0], instance_norm)
+    m.wtlayer("encoder.encoder2", "encoder/encoder2", wt_levels[1], instance_norm)
+    m.wtlayer("encoder.encoder3", "encoder/encoder3", wt_levels[2], instance_norm)
     m.attention("encoder.attn", "encoder/attn", ed[2], ed[2])
     m.block("encoder.encoder4", "encoder/encoder4", ed[2], ed[3], headdim, depth[0])
     m.block("encoder.encoder5", "encoder/encoder5", ed[3], ed[4], headdim, depth[1])
@@ -224,7 +241,7 @@ def adnm_name_map(
     # ----- decoder (reference: ADNMUNet.py:486-636) --------------------
     m.channel_att_bridge("decoder.fusion", "decoder/fusion")
     for i in range(3):  # only the consumed features 0..2 exist in our tree
-        m.encoder_to_decoder(f"decoder.e2ds.{i}", f"decoder/e2d_{i}")
+        m.encoder_to_decoder(f"decoder.e2ds.{i}", f"decoder/e2d_{i}", instance_norm)
     m.block("decoder.decoder1", "decoder/decoder1", ed[5], ed[4], headdim, depth[2])
     m.upsample("decoder.up_sample1", "decoder/up_sample1")
     m.block("decoder.decoder2", "decoder/decoder2", ed[4] * 2, ed[3], headdim, depth[1])
@@ -232,11 +249,11 @@ def adnm_name_map(
     m.block("decoder.decoder3", "decoder/decoder3", ed[3] * 2, ed[2], headdim, depth[0])
     m.attention("decoder.attn", "decoder/attn", ed[2], ed[2])
     m.upsample("decoder.up_sample3", "decoder/up_sample3")
-    m.wtlayer("decoder.decoder4", "decoder/decoder4", wt_levels[2])
+    m.wtlayer("decoder.decoder4", "decoder/decoder4", wt_levels[2], instance_norm)
     m.upsample("decoder.up_sample4", "decoder/up_sample4")
-    m.wtlayer("decoder.decoder5", "decoder/decoder5", wt_levels[1])
+    m.wtlayer("decoder.decoder5", "decoder/decoder5", wt_levels[1], instance_norm)
     m.upsample("decoder.up_sample5", "decoder/up_sample5")
-    m.wtlayer("decoder.decoder6", "decoder/decoder6", wt_levels[0])
+    m.wtlayer("decoder.decoder6", "decoder/decoder6", wt_levels[0], instance_norm)
     m.convlayer("decoder.decoder6_s", "decoder/decoder6_s")
     # ----- refiner (reference: ADNMUNet.py:639-717) --------------------
     rd = list(refine_dim)
@@ -244,7 +261,7 @@ def adnm_name_map(
         out_dim = rd[i + 1] if i < 3 else rd[-1]
         m.block(f"refiner.refiner{i + 1}", f"refiner/refiner{i + 1}", rd[i], out_dim,
                 refine_headdim[i], refine_depth[i])
-    m.out_proj_head("refiner.out_proj", "refiner/out_proj")
+    m.out_proj_head("refiner.out_proj", "refiner/out_proj", instance_norm)
     return m.entries
 
 
