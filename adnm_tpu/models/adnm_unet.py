@@ -343,9 +343,22 @@ class Refiner(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, res: jax.Array) -> jax.Array:
+        from adnm_tpu.parallel.mesh import maybe_shard
+
+        # Reshard boundary: pin the decoder output and the last-frame
+        # residual to batch-only sharding so the 'seq' partitioning below
+        # stays local to the refiner (the 65k-token hot path) instead of
+        # propagating back through the encoder/decoder pyramid.
+        x = maybe_shard(x, "data")
+        res = maybe_shard(res, "data")
         rd = self.refine_dim
         BlockM = nn.remat(Block) if self.remat else Block
         for i in range(4):
+            # Sequence sharding of the full-resolution token grid: under a
+            # ('data', 'seq') mesh (jax.sharding.set_mesh) the H axis — and
+            # with it L = H*W — is split over 'seq'; XLA turns the duality
+            # K^T V contraction into a psum over 'seq'. No-op otherwise.
+            x = maybe_shard(x, "data", "seq", None, None)
             x = BlockM(
                 dim=rd[i],
                 out_dim=rd[i + 1] if i < 3 else rd[-1],

@@ -70,6 +70,28 @@ def provision_cpu_devices(n_devices: int) -> bool:
     return len(jax.devices()) >= n_devices
 
 
+def maybe_shard(x: jax.Array, *axes: Optional[str]) -> jax.Array:
+    """Annotate ``x`` with a PartitionSpec over the ACTIVE mesh (set via
+    ``jax.sharding.set_mesh``), silently dropping axis names the mesh
+    does not have. No-op outside any mesh — so models can carry
+    always-on sharding annotations (the GSPMD "annotate and let XLA
+    insert collectives" recipe) and still run single-device.
+
+    This is how the Refiner's 65k-token mixers get sequence sharding:
+    constraining the (B, H, W, C) activations to P('data', 'seq')
+    splits L = H*W over 'seq', and XLA lowers the duality's K^T V
+    contraction to a psum over that axis (SURVEY section 2.4).
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or am.empty:
+        return x
+    names = set(am.axis_names)
+    spec = tuple(a if (a in names) else None for a in axes)
+    if not any(spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard dim 0 (batch); replicate the rest."""
     return NamedSharding(mesh, P(axis))

@@ -16,6 +16,7 @@ val_dataloader but re-evaluates the last *training* batch each time
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 from typing import Any, Callable, Dict, Optional
@@ -148,6 +149,14 @@ class Trainer:
             return jax.device_put(batch, self.batch_sharding)
         return jnp.asarray(batch)
 
+    def _mesh_ctx(self):
+        """Activate the mesh so PartitionSpec annotations inside the model
+        (parallel.mesh.maybe_shard, e.g. the Refiner's sequence sharding)
+        resolve against it."""
+        if self.mesh is not None:
+            return jax.sharding.set_mesh(self.mesh)
+        return contextlib.nullcontext()
+
     def train_epoch(self, loader, lr: float, clip_norm: float) -> Dict[str, float]:
         from adnm_tpu.data.loader import device_prefetch
 
@@ -155,12 +164,13 @@ class Trainer:
         gnorms = []
         lr_j = jnp.float32(lr)
         clip_j = jnp.float32(clip_norm)
-        for batch in device_prefetch(loader, self._put):
-            # keep loss/gnorm as device arrays — fetching per step would
-            # force a sync and serialize the async dispatch pipeline
-            self.state, loss, gnorm = self._train_step(self.state, batch, lr_j, clip_j)
-            losses.append(loss)
-            gnorms.append(gnorm)
+        with self._mesh_ctx():
+            for batch in device_prefetch(loader, self._put):
+                # keep loss/gnorm as device arrays — fetching per step would
+                # force a sync and serialize the async dispatch pipeline
+                self.state, loss, gnorm = self._train_step(self.state, batch, lr_j, clip_j)
+                losses.append(loss)
+                gnorms.append(gnorm)
         n = len(losses)
         losses = np.asarray(jax.device_get(losses)) if losses else np.zeros(0)
         gnorms = np.asarray(jax.device_get(gnorms)) if gnorms else np.zeros(0)
@@ -172,14 +182,20 @@ class Trainer:
         }
 
     def eval_epoch(self, loader, collect: bool = False):
-        total = 0.0
+        from adnm_tpu.data.loader import device_prefetch
+
+        losses = []
         gts, preds = [], []
-        for batch in loader:
-            loss, out = self._eval_step(self.state, self._put(batch))
-            total += float(loss)
-            if collect:
-                preds.append(np.asarray(out)[:, :, 0])
-                gts.append(np.asarray(batch[:, self.input_frames :, 0]))
+        with self._mesh_ctx():
+            for batch in device_prefetch(loader, self._put):
+                loss, out = self._eval_step(self.state, batch)
+                # defer the loss fetch — float(loss) per batch forces a sync
+                # and serializes dispatch (the train path already defers)
+                losses.append(loss)
+                if collect:
+                    preds.append(np.asarray(out)[:, :, 0])
+                    gts.append(np.asarray(batch[:, self.input_frames :, 0]))
+        total = float(np.sum(jax.device_get(losses))) if losses else 0.0
         if collect:
             if not preds:
                 return total, np.zeros((0,)), np.zeros((0,))

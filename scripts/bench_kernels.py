@@ -1,0 +1,154 @@
+"""Hot-kernel benchmarks on the real TPU chip (regression tracking).
+
+Measures the shipped XLA implementations at the flagship's hot shapes
+(refiner: B=4, L=256*256=65,536 tokens, per-path H=8 heads, P=4, N=16;
+reference: models/ADNMUNet.py:639-717, ADNssd.py:414-440):
+
+  1. chunked SSD scan (ops.ssd.ssd_chunked_scan, bimamba path), forward
+     and forward+backward;
+  2. the (gated) RMSNorm formulations XLA fuses inside Block/mixer.
+
+Timing methodology: the axon tunnel adds ~26 ms per dispatch, so each
+op is chained K times inside one jit (lax.fori_loop) and the per-op
+time is chained/K.
+
+History — "earn it or cut it" A/B (2026-08-16, v5e-1, fp32): handwritten
+Pallas equivalents (VMEM-carry chunked scan; row-block fused norms) were
+benchmarked against these XLA paths at the shapes above and LOST across
+the board, so they were deleted (commit "Cut the Pallas kernels"):
+
+    ssd scan fwd        XLA 2.50 ms   Pallas 7.82 ms   (3.1x)
+    ssd scan fwd+bwd    XLA 4.59 ms   Pallas 11.28 ms  (2.5x)
+    rmsnorm d32         XLA 0.28 ms   Pallas 1.25 ms   (4.4x)  262k rows
+    gated rmsnorm d32   XLA 0.28 ms   Pallas 1.39 ms   (4.9x)
+    rmsnorm d64         XLA 0.29 ms   Pallas 1.25 ms   (4.3x)
+    gated rmsnorm d64   XLA 0.44 ms   Pallas 1.39 ms   (3.2x)
+
+These ops are bandwidth-bound elementwise/reduce chains and small-lane
+matmul scans — exactly what XLA already fuses and pipelines well; the
+Pallas row-block kernels paid grid-iteration overhead with nothing to
+fuse beyond what XLA does. (Numerics agreed: norms to ~1e-6 abs; scan to
+~5e-3 rel at default precision, the XLA bf16-MXU pass artifact, 8e-6 at
+matched HIGHEST precision.)
+
+Run: python scripts/bench_kernels.py [--quick]
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, *args, iters=8, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(min(times)), float(sorted(times)[len(times) // 2])
+
+
+def chain(fn, K):
+    """Amortize the host<->device dispatch latency (the axon tunnel adds
+    ~26 ms per call) by chaining K dependent applications of ``fn`` inside
+    one jit: per-op time = chained_time / K. ``fn(carry, *rest)`` must
+    return an array of carry's shape."""
+    import jax
+
+    @jax.jit
+    def run(carry, *rest):
+        return jax.lax.fori_loop(0, K, lambda i, c: fn(c, *rest), carry)
+
+    return run
+
+
+def timeit_chained(fn, *args, K=50, iters=8, warmup=2):
+    best, med = timeit(chain(fn, K), *args, iters=iters, warmup=warmup)
+    return best / K, med / K
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller L for smoke")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from adnm_tpu.ops.ssd import linear_attn_dual, ssd_chunked_scan
+
+    backend = jax.default_backend()
+    dtype = jnp.dtype(args.dtype)
+    B, L, H, P, N = 4, (4096 if args.quick else 65536), 8, 4, 16
+    rng = np.random.default_rng(0)
+
+    x = jnp.asarray(rng.standard_normal((B, L, H, P)), dtype)
+    dt = jax.nn.softplus(jnp.asarray(rng.standard_normal((B, L, H)), dtype))
+    A = -jnp.exp(jnp.asarray(rng.uniform(0, 1, (H,)), jnp.float32))
+    Bm = jnp.asarray(rng.standard_normal((B, L, N)), dtype)
+    Cm = jnp.asarray(rng.standard_normal((B, L, N)), dtype)
+    D = jnp.ones((H,), jnp.float32)
+
+    def rec(name, best, med, **kw):
+        row = {"bench": name, "backend": backend, "dtype": args.dtype,
+               "best_ms": round(best * 1e3, 4), "median_ms": round(med * 1e3, 4), **kw}
+        print(json.dumps(row), flush=True)
+
+    shape = dict(B=B, L=L, H=H, P=P, N=N)
+
+    # ---- duality (default path) + chunked scan (bimamba path) --------
+    rec("linear_attn_dual_fwd",
+        *timeit_chained(lambda xx: linear_attn_dual(xx, dt, A, Bm, Cm, D), x), **shape)
+    rec("ssd_scan_fwd",
+        *timeit_chained(lambda xx: ssd_chunked_scan(xx, dt, A, Bm, Cm, D, chunk_size=256), x),
+        **shape)
+    g = jax.grad(lambda xx: jnp.sum(ssd_chunked_scan(xx, dt, A, Bm, Cm, D, chunk_size=256) ** 2))
+    rec("ssd_scan_fwdbwd", *timeit_chained(g, x, K=25), **shape)
+    g2 = jax.grad(lambda xx: jnp.sum(linear_attn_dual(xx, dt, A, Bm, Cm, D) ** 2))
+    rec("linear_attn_dual_fwdbwd", *timeit_chained(g2, x, K=25), **shape)
+
+    # ---- (gated) RMSNorm at Block shapes ------------------------------
+    for d in (32, 64):
+        rows_x = jnp.asarray(rng.standard_normal((B, L, d)), dtype)
+        rows_z = jnp.asarray(rng.standard_normal((B, L, d)), dtype)
+        w = jnp.ones((d,), jnp.float32)
+
+        def rms_xla(v, ww=w):
+            vf = v.astype(jnp.float32)
+            ms = jnp.mean(jnp.square(vf), axis=-1, keepdims=True)
+            return (vf * jax.lax.rsqrt(ms + 1e-6) * ww).astype(v.dtype)
+
+        def grms_xla(v, z, ww=w):
+            gg = v.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))
+            ms = jnp.mean(jnp.square(gg), axis=-1, keepdims=True)
+            return (gg * jax.lax.rsqrt(ms + 1e-6) * ww).astype(v.dtype)
+
+        rec(f"rmsnorm_d{d}", *timeit_chained(rms_xla, rows_x, K=100), rows=B * L)
+        rec(f"gated_rmsnorm_d{d}",
+            *timeit_chained(lambda v: grms_xla(v, rows_z), rows_x, K=100), rows=B * L)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,3 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compile cache (shared with bench.py/__graft_entry__.py): the
+# 1-core host recompiles big graphs in minutes; warm reruns take seconds.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
