@@ -26,6 +26,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrained-npz", default=None,
+                   help="TransUnet only: ImageNet R50+ViT-B_16 .npz to initialize "
+                        "the encoder (reference: TransUnet.py:718-765)")
 
 
 def task_shape(args):
@@ -54,6 +57,17 @@ def build(args, need_loaders=True):
         img_size=args.img_size, mesh=mesh, seed=args.seed,
         param_transform=param_transform,
     )
+    if getattr(args, "pretrained_npz", None):
+        if args.model != "TransUnet":
+            raise SystemExit("--pretrained-npz is only supported for --model TransUnet")
+        import numpy as np
+
+        from adnm_tpu.train.npz_import import load_transunet_npz
+
+        npz = np.load(args.pretrained_npz)
+        params = load_transunet_npz(npz, jax.device_get(trainer.state.params))
+        trainer.state = trainer.state.replace(params=jax.tree.map(jax.numpy.asarray, params))
+        print(f"loaded pretrained encoder from {args.pretrained_npz}")
     loaders = None
     if need_loaders:
         data_path = None if args.synthetic else args.data_path
