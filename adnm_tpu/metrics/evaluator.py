@@ -79,7 +79,14 @@ class SimplifiedEvaluator:
                 from adnm_tpu.metrics.lpips_jax import default_lpips
 
                 lpips_fn = default_lpips()
-            except Exception:
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"LPIPS disabled — reported as NaN ({e}). Export weights "
+                    "with scripts/export_lpips.py and set ADNM_LPIPS_WEIGHTS.",
+                    stacklevel=2,
+                )
                 lpips_fn = None
         self.lpips_fn = lpips_fn
         self.reset()
