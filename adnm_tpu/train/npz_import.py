@@ -20,6 +20,58 @@ from typing import Mapping
 
 import numpy as np
 
+def load_swinunet_pretrained(pretrained, params: dict, depths=(2, 2, 2, 2)) -> dict:
+    """SwinUnet upstream-pretrained loader (reference:
+    models/SwinUnet.py:1070-1105, the ``pretrained_dict['model']``
+    branch): takes an upstream swin-tiny checkpoint dict, mirrors every
+    encoder ``layers.{i}`` tensor onto decoder ``layers_up.{3-i}``,
+    drops shape mismatches, and loads non-strict.
+
+    ``pretrained``: the torch dict (either the raw upstream file with a
+    'model' key, or already-unwrapped). Returns an updated copy of our
+    params; prints a summary like the reference.
+    """
+    import jax
+
+    from adnm_tpu.train.torch_import import _conv_w, _lin_w, _swinunet_name_map
+
+    if "model" in pretrained:
+        pretrained = pretrained["model"]
+    sd = {}
+    for k, v in pretrained.items():
+        v = np.asarray(v.numpy() if hasattr(v, "numpy") else v)
+        key = k if k.startswith("swin_unet.") else f"swin_unet.{k}"
+        sd[key] = v
+        # encoder -> decoder mirror (SwinUnet.py:1090-1095)
+        if key.startswith("swin_unet.layers."):
+            layer_num = 3 - int(key[len("swin_unet.layers.")])
+            sd[f"swin_unet.layers_up.{layer_num}" + key[len("swin_unet.layers.0"):]] = v
+
+    params = jax.tree.map(np.asarray, params)
+    name_map = _swinunet_name_map(depths)
+    loaded, skipped = 0, 0
+    for tname, (ours, kind) in name_map.items():
+        if tname not in sd:
+            continue
+        t = sd[tname]
+        if kind == "conv_w":
+            t = _conv_w(t)
+        elif kind == "lin_w":
+            t = _lin_w(t)
+        node = params
+        parts = ours.split("/")
+        for p in parts[:-1]:
+            node = node[p]
+        if node[parts[-1]].shape != t.shape:
+            skipped += 1  # reference deletes shape-mismatched keys (:1098-1100)
+            continue
+        node[parts[-1]] = t.astype(np.float32)
+        loaded += 1
+    print(f"load_swinunet_pretrained: loaded {loaded} tensors, "
+          f"skipped {skipped} shape mismatches")
+    return params
+
+
 _Q = "MultiHeadDotProductAttention_1/query"
 _K = "MultiHeadDotProductAttention_1/key"
 _V = "MultiHeadDotProductAttention_1/value"

@@ -135,3 +135,44 @@ def test_npz_loader_matches_reference_load_from():
     assert len(touched) > 300, f"loader touched only {len(touched)} leaves"
     for k in touched:
         np.testing.assert_allclose(flat_l[k], flat_r[k], rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_swinunet_pretrained_loader():
+    """Upstream swin-tiny dict -> encoder loaded + mirrored onto the
+    decoder (reference SwinUnet.py:1070-1105 'model' branch)."""
+    from adnm_tpu.models.swin_unet import SwinUnet
+    from adnm_tpu.train.npz_import import load_swinunet_pretrained
+    from adnm_tpu.train.torch_import import export_swinunet_state_dict
+
+    model = SwinUnet(num_classes=20)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 5, 1, 256, 256)),
+            train=False,
+        )
+    )
+    rng = np.random.default_rng(3)
+    rand = jax.tree.map(lambda s: rng.standard_normal(s.shape).astype(np.float32), shapes["params"])
+    full_sd = export_swinunet_state_dict(rand)
+    # upstream checkpoint = encoder-side keys only, unwrapped, under 'model'
+    upstream = {
+        k[len("swin_unet."):]: v
+        for k, v in full_sd.items()
+        if k.startswith(("swin_unet.patch_embed", "swin_unet.layers.", "swin_unet.norm."))
+    }
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes["params"])
+    loaded = load_swinunet_pretrained({"model": upstream}, zeros)
+
+    su = loaded["swin_unet"]
+    src = rand["swin_unet"]
+    # encoder loaded exactly
+    np.testing.assert_array_equal(su["patch_embed_proj"]["kernel"], src["patch_embed_proj"]["kernel"])
+    np.testing.assert_array_equal(su["layer0_blk0"]["attn"]["qkv"]["kernel"],
+                                  src["layer0_blk0"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_array_equal(su["norm"]["scale"], src["norm"]["scale"])
+    # decoder mirror: layers_up.3 gets layers.0's blocks (same dim level)
+    np.testing.assert_array_equal(su["layer_up3_blk0"]["attn"]["qkv"]["kernel"],
+                                  src["layer0_blk0"]["attn"]["qkv"]["kernel"])
+    # untouched leaves (e.g. output head) stay zero
+    assert not np.any(su["output"]["kernel"])
