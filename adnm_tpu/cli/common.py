@@ -4,6 +4,7 @@ configuration, train.py:23-66, with flags)."""
 from __future__ import annotations
 
 import argparse
+import math
 import os
 
 import jax
@@ -25,6 +26,17 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="output root for model_params/ and results/ (reference: config.py:5)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
+    p.add_argument("--mesh", default=None, metavar="AXIS=N,...",
+                   help="explicit device mesh, e.g. 'data=4,seq=2' — batch "
+                        "over 'data', conv pyramid H / refiner tokens over "
+                        "'seq', heads + MLP hidden channels over 'model' "
+                        "(implies --data-parallel). Training meshes are "
+                        "limited to 2 non-trivial axes (XLA v0.9.0 weight-"
+                        "grad defect on >=3-axis meshes); 3-axis meshes incl. "
+                        "'model' are for validate/visualize (inference TP)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard the optimizer moments over the mesh's "
+                        "'data' axis instead of replicating them")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrained-npz", default=None,
                    help="TransUnet only: ImageNet R50+ViT-B_16 .npz to initialize "
@@ -42,7 +54,16 @@ def task_shape(args):
 def build(args, need_loaders=True):
     input_frames, output_frames, frame_interval, thresholds = task_shape(args)
     mesh = None
-    if args.data_parallel:
+    if getattr(args, "mesh", None):
+        from adnm_tpu.parallel import make_mesh
+
+        axes, sizes = [], []
+        for part in args.mesh.split(","):
+            name, _, n = part.partition("=")
+            axes.append(name.strip())
+            sizes.append(int(n))
+        mesh = make_mesh(math.prod(sizes), axes=tuple(axes), shape=tuple(sizes))
+    elif args.data_parallel:
         devs = jax.devices()
         mesh = jax.sharding.Mesh(devs, ("data",))
     model = create_model(args.model, input_frames, output_frames, frame_interval, img_size=args.img_size)
@@ -56,6 +77,7 @@ def build(args, need_loaders=True):
         model, preset, input_frames, output_frames,
         img_size=args.img_size, mesh=mesh, seed=args.seed,
         param_transform=param_transform,
+        shard_opt_state=getattr(args, "zero1", False),
     )
     if getattr(args, "pretrained_npz", None):
         if args.model != "TransUnet":

@@ -246,6 +246,17 @@ class EncoderToDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, res: jax.Array) -> jax.Array:
+        # Pin this module spatially replicated (batch sharding only):
+        # its padded poolings miscompute when H is 'seq'-sharded (XLA
+        # SPMD partitioner defect — padding/halo values leak into
+        # outputs; observed inf/1e38 artifacts on the 8-device CPU
+        # mesh). It runs only at the three smallest pyramid levels, so
+        # replication is cheap; the internal FeedForward also skips its
+        # 'seq' annotation (spatial_shard=False).
+        from adnm_tpu.parallel.mesh import maybe_shard
+
+        x = maybe_shard(x, "data")
+        res = maybe_shard(res, "data")
         d = self.embed_dim
         gama = scalar_param(self, "gama", 1.0)
         scale = scalar_param(self, "scale", 1.0)
@@ -257,9 +268,19 @@ class EncoderToDecoder(nn.Module):
         x = scale * _NORMS[_norm_name(self.instance_norm)](d)(x) + shift
 
         def pool_pair(v, wh, ww):
-            pad = ((wh // 2, wh // 2), (ww // 2, ww // 2))
-            mx = nn.max_pool(v, (wh, ww), strides=(1, 1), padding=pad)
-            av = nn.avg_pool(v, (wh, ww), strides=(1, 1), padding=pad, count_include_pad=True)
+            # Explicit finite padding + VALID windows instead of padded
+            # reduce-windows: XLA's SPMD partitioner mishandles
+            # max_pool's -inf window padding on a sharded spatial dim
+            # (observed inf/NaN on the 8-device CPU mesh when the conv
+            # pyramid is 'seq'-sharded). Zero-padded VALID avg equals
+            # count_include_pad=True SAME exactly; finite-min padding is
+            # equivalent for max since every window holds real data.
+            pad = ((0, 0), (wh // 2, wh // 2), (ww // 2, ww // 2), (0, 0))
+            neg = jnp.finfo(v.dtype).min
+            mx = nn.max_pool(
+                jnp.pad(v, pad, constant_values=neg), (wh, ww), strides=(1, 1)
+            )
+            av = nn.avg_pool(jnp.pad(v, pad), (wh, ww), strides=(1, 1))
             return mx + av
 
         ffd13 = ConvLayer(d, 1, 1, 0, groups=d, name="ffd13")
@@ -286,8 +307,8 @@ class EncoderToDecoder(nn.Module):
         x_pool = alpha1 * x1 + alpha2 * x2 + alpha3 * x3
         gamma = self.param("gamma", nn.initializers.ones, (d,), jnp.float32)
         x_pool = x_pool * gamma
-        x_pool = FeedForward(d, name="ffd")(x_pool)
-        return ConvFFD(d, name="mlp")(x_pool)
+        x_pool = FeedForward(d, spatial_shard=False, name="ffd")(x_pool)
+        return maybe_shard(ConvFFD(d, name="mlp")(x_pool), "data")
 
 
 class OutProj(nn.Module):

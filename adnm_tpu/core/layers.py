@@ -435,11 +435,23 @@ class FeedForward(nn.Module):
     dim: int
     expansion: int = 2
     dtype: Optional[Dtype] = None
+    # EncoderToDecoder sets False: that module must stay spatially
+    # replicated (its padded poolings miscompute under a 'seq'-sharded H
+    # — XLA SPMD partitioner defect, see blocks.py pool_pair)
+    spatial_shard: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hidden = int(self.dim * self.expansion)
         x = ConvLayer(hidden * 2, (1, 1), (1, 1), (0, 0), dtype=self.dtype, name="project_in")(x)
+        # Megatron-style TP on the MLP: the expanded hidden channels split
+        # over a 'model' mesh axis (column-parallel expand, row-parallel
+        # project_out — XLA inserts the single all-reduce); the depthwise
+        # conv and the gate are per-channel, so they stay collective-free.
+        # No-op without a 'model' axis (parallel.mesh.maybe_shard).
+        from adnm_tpu.parallel.mesh import maybe_shard
+
+        x = maybe_shard(x, "data", "seq" if self.spatial_shard else None, None, "model")
         x = ConvLayer(hidden * 2, (3, 3), (1, 1), (1, 1), groups=hidden * 2, dtype=self.dtype, name="dwconv")(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = jax.nn.gelu(x1) * jax.nn.sigmoid(x2)

@@ -41,6 +41,14 @@ class StandardAttention(nn.Module):
             return t.reshape(b, l, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+        # Tensor parallelism: heads are independent, so under a mesh with
+        # a 'model' axis the QK^T / AV matmuls partition over heads
+        # (tokens are gathered — attention is global over L anyway).
+        from adnm_tpu.parallel.mesh import maybe_shard
+
+        q = maybe_shard(q, "data", "model", None, None)
+        k = maybe_shard(k, "data", "model", None, None)
+        v = maybe_shard(v, "data", "model", None, None)
         scale = self.dim_head ** -0.5
         logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
         attn = jax.nn.softmax(logits, axis=-1)

@@ -160,8 +160,18 @@ class ADNSSDMixer(nn.Module):
             return t.reshape(b, l, *t.shape[3:])
 
         def scan(xx, dd, AA, BB, CC, DD, reverse: bool):
+            from adnm_tpu.parallel.mesh import maybe_shard
+
             xx = to_seq(xx).reshape(b, l, hh, self.headdim)
             dd, BB, CC = to_seq(dd), to_seq(BB), to_seq(CC)
+            # Tensor parallelism over the scan heads: under a mesh with a
+            # 'model' axis the per-head state spaces are independent, so
+            # the duality/scan partitions over heads with zero collectives
+            # until the channel merge below; 'seq' co-shards L when that
+            # axis is present (no-op otherwise — maybe_shard drops absent
+            # axis names).
+            xx = maybe_shard(xx, "data", "seq", "model", None)
+            dd = maybe_shard(dd, "data", "seq", "model")
             if self.linear_attn_duality:
                 y = linear_attn_dual(xx, dd, AA, BB, CC, DD, self.ssd_positive_dA)
             else:

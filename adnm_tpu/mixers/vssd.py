@@ -59,6 +59,12 @@ class VSSDMixer(nn.Module):
         x, Bm, Cm = jnp.split(xBC, [d_inner, d_inner + gN], axis=-1)
         x = x.reshape(b, l, nheads, self.headdim)
         dt = dt.reshape(b, l, nheads)
+        # head-axis tensor parallelism + L sequence sharding, same recipe
+        # as ADNSSDMixer (no-op without the mesh axes)
+        from adnm_tpu.parallel.mesh import maybe_shard
+
+        x = maybe_shard(x, "data", "seq", "model", None)
+        dt = maybe_shard(dt, "data", "seq", "model")
         Bm = Bm.reshape(b, l, g, self.d_state)
         Cm = Cm.reshape(b, l, g, self.d_state)
 

@@ -207,6 +207,8 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array):
+        from adnm_tpu.parallel.mesh import maybe_shard
+
         ed = self.embed_dim
         skips = []
         if self.simple_patch:
@@ -216,14 +218,23 @@ class Encoder(nn.Module):
                 self.in_channels, ed[0], self.kernel[0], self.wt_levels[0],
                 instance_norm=self.instance_norm, name="encoder1",
             )(x)
+        # Spatial sharding of the conv pyramid: under a mesh with a 'seq'
+        # axis the H dimension is split across devices at every stage whose
+        # H is still divisible (maybe_shard drops it otherwise); XLA
+        # inserts halo exchanges for the spatial convs. Activation memory
+        # — the dominant footprint of a conv U-Net at 256^2 — scales with
+        # the 'seq' degree, not just batch.
+        x = maybe_shard(x, "data", "seq")
         skips.append(x)
         x = DownSample(self.ratio[0], name="down_sample1")(x)
 
         x = WTLayer(ed[0], ed[1], self.kernel[1], self.wt_levels[1], instance_norm=self.instance_norm, name="encoder2")(x)
+        x = maybe_shard(x, "data", "seq")
         skips.append(x)
         x = DownSample(self.ratio[1], name="down_sample2")(x)
 
         x = WTLayer(ed[1], ed[2], self.kernel[2], self.wt_levels[2], instance_norm=self.instance_norm, name="encoder3")(x)
+        x = maybe_shard(x, "data", "seq")
         skips.append(x)
         x = DownSample(self.ratio[2], name="down_sample3")(x)
 
@@ -303,22 +314,27 @@ class Decoder(nn.Module):
         x = AttentionBlock(ed[2], ed[2], headdim=self.headdim, dtype=self.dtype, name="attn")(x)
         x = UpSample(ed[2], ratio=self.ratio[2], name="up_sample3")(x)
 
+        from adnm_tpu.parallel.mesh import maybe_shard
+
         x = WTLayer(
             ed[2] * 2, ed[1], self.kernel[2], self.wt_levels[2], if_res=True,
             instance_norm=self.instance_norm, name="decoder4",
         )(x, residual=skips[2], features=features.get(4))
+        x = maybe_shard(x, "data", "seq")
         x = UpSample(ed[1], ratio=self.ratio[1], name="up_sample4")(x)
 
         x = WTLayer(
             ed[1] * 2, ed[0], self.kernel[1], self.wt_levels[1], if_res=True,
             instance_norm=self.instance_norm, name="decoder5",
         )(x, residual=skips[1], features=features.get(5))
+        x = maybe_shard(x, "data", "seq")
         x = UpSample(ed[0], ratio=self.ratio[0], name="up_sample5")(x)
 
         x = WTLayer(
             ed[0] * 2, ed[0], self.kernel[0], self.wt_levels[0], if_res=True,
             instance_norm=self.instance_norm, name="decoder6",
         )(x, residual=skips[0], features=features.get(6))
+        x = maybe_shard(x, "data", "seq")
 
         x = ConvLayer(self.refine_dim[0], 1, 1, 0, dtype=self.dtype, name="decoder6_s")(x)
         return x
@@ -345,12 +361,12 @@ class Refiner(nn.Module):
     def __call__(self, x: jax.Array, res: jax.Array) -> jax.Array:
         from adnm_tpu.parallel.mesh import maybe_shard
 
-        # Reshard boundary: pin the decoder output and the last-frame
-        # residual to batch-only sharding so the 'seq' partitioning below
-        # stays local to the refiner (the 65k-token hot path) instead of
-        # propagating back through the encoder/decoder pyramid.
-        x = maybe_shard(x, "data")
-        res = maybe_shard(res, "data")
+        # The decoder output and the last-frame residual arrive H-sharded
+        # over 'seq' (the conv pyramid carries the same spatial sharding);
+        # keep that layout — the token-form reshape below preserves it, so
+        # the refiner's 65k-token mixers run on L-local shards.
+        x = maybe_shard(x, "data", "seq")
+        res = maybe_shard(res, "data", "seq")
         rd = self.refine_dim
         BlockM = nn.remat(Block) if self.remat else Block
         for i in range(4):

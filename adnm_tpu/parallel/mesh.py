@@ -73,9 +73,12 @@ def provision_cpu_devices(n_devices: int) -> bool:
 def maybe_shard(x: jax.Array, *axes: Optional[str]) -> jax.Array:
     """Annotate ``x`` with a PartitionSpec over the ACTIVE mesh (set via
     ``jax.sharding.set_mesh``), silently dropping axis names the mesh
-    does not have. No-op outside any mesh — so models can carry
-    always-on sharding annotations (the GSPMD "annotate and let XLA
-    insert collectives" recipe) and still run single-device.
+    does not have — and axis names whose dimension is not divisible by
+    the mesh axis size (deep pyramid levels where H has shrunk below the
+    shard count fall back to replicated instead of padded shards). No-op
+    outside any mesh — so models can carry always-on sharding
+    annotations (the GSPMD "annotate and let XLA insert collectives"
+    recipe) and still run single-device.
 
     This is how the Refiner's 65k-token mixers get sequence sharding:
     constraining the (B, H, W, C) activations to P('data', 'seq')
@@ -86,10 +89,50 @@ def maybe_shard(x: jax.Array, *axes: Optional[str]) -> jax.Array:
     if am is None or am.empty:
         return x
     names = set(am.axis_names)
-    spec = tuple(a if (a in names) else None for a in axes)
+    spec = tuple(
+        a
+        if (a in names and i < x.ndim and x.shape[i] % am.shape[a] == 0)
+        else None
+        for i, a in enumerate(axes)
+    )
     if not any(spec):
         return x
     return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
+def assert_training_mesh(mesh: Optional[Mesh]) -> None:
+    """Refuse TRAINING on meshes with three or more non-trivial axes.
+
+    XLA v0.9.0's SPMD partitioner (Shardy and the legacy GSPMD pass
+    alike) miscomputes WEIGHT gradients on >=3-axis meshes: at any
+    activation reshard boundary, the weight-grad cross-replica reduction
+    double-counts contributions over the axes the operands are
+    replicated on (observed: conv/einsum kernel grads exactly
+    ``axis_size`` times too large, while the loss and all activation
+    cotangents stay correct — so training silently diverges). The
+    minimal reproduction and the exact trigger matrix live in
+    ``tests/test_parallel.py::TestXlaThreeAxisGradDefect``; that test
+    FAILS LOUDLY when a jax upgrade fixes the defect, at which point
+    this guard can be dropped. Every <=2-axis combination —
+    ('data',), ('data','seq'), ('data','model'), each with or without
+    ZeRO-1 — is verified gradient-exact and remains supported; 3-axis
+    meshes remain fine for inference (forward output parity is tested
+    on ('data','seq','model') in tests/test_parallel.py).
+    """
+    if mesh is None:
+        return
+    hot = [a for a in mesh.axis_names if mesh.shape[a] > 1]
+    if len(hot) > 2:
+        raise ValueError(
+            f"Training on a mesh with >=3 non-trivial axes {hot} is "
+            f"disabled: XLA v0.9.0 miscomputes weight gradients on such "
+            f"meshes (exact-factor double-counting at reshard "
+            f"boundaries; see tests/test_parallel.py::"
+            f"TestXlaThreeAxisGradDefect and adnm_tpu/parallel/mesh.py). "
+            f"Use a 2-axis mesh — e.g. data x seq for training, and "
+            f"keep the 'model' (tensor-parallel) axis for inference "
+            f"sharding — or fold axes together."
+        )
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -62,7 +62,17 @@ class Trainer:
         seed: int = 0,
         compute_dtype: Any = jnp.float32,
         param_transform: Optional[Callable] = None,
+        shard_opt_state: bool = False,
     ):
+        """``shard_opt_state=True`` (ZeRO-1) shards the optimizer moments
+        over the mesh's 'data' axis instead of replicating them. The
+        optimizer runs on ONE raveled vector (optax.flatten, see
+        presets.make_optimizer), so the shard is a clean 1-D split; XLA
+        derives the ZeRO dataflow automatically: moment update local,
+        all-gather of the parameter update. Cuts per-chip optimizer
+        memory (2 x n_params x 4B for AdamW) by the DP degree — a TPU
+        capability beyond the reference's replicate-everything
+        DataParallel (train.py:99-102)."""
         self.model = model
         self.preset = preset
         self.input_frames = input_frames
@@ -70,7 +80,14 @@ class Trainer:
         self.img_size = img_size
         self.mesh = mesh
         self.compute_dtype = compute_dtype
-        self.tx = preset.make_optimizer()
+        zero1 = (
+            shard_opt_state
+            and mesh is not None
+            and mesh.shape.get("data", 1) > 1
+        )
+        # pad the raveled moment vector to the DP degree so it shards
+        # evenly (XLA requires equal shard sizes)
+        self.tx = preset.make_optimizer(pad_to=mesh.shape["data"] if zero1 else 1)
 
         sample = jnp.zeros((1, input_frames + output_frames, 1, img_size, img_size), jnp.float32)
         init_rngs = {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 7)}
@@ -87,16 +104,49 @@ class Trainer:
             batch_stats=batch_stats, step=jnp.zeros((), jnp.int32),
         )
 
+        self._state_shardings = None
         if mesh is not None:
             self.batch_sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("data")
             )
             rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-            self.state = jax.device_put(self.state, rep)
+            shardings = jax.tree.map(lambda _: rep, self.state)
+            if zero1:
+                vec = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data")
+                )
+                # only the big raveled moment vectors (padded by
+                # make_optimizer to a multiple of the DP degree, so the
+                # 1-D split is always even); scalars (counts, injected
+                # hyperparams) stay replicated
+                ndata = mesh.shape["data"]
+                opt_sh = jax.tree.map(
+                    lambda leaf: vec
+                    if (
+                        getattr(leaf, "ndim", 0) == 1
+                        and leaf.size >= 1024
+                        and leaf.size % ndata == 0
+                    )
+                    else rep,
+                    self.state.opt_state,
+                )
+                shardings = shardings.replace(opt_state=opt_sh)
+            self.state = jax.device_put(self.state, shardings)
+            self._state_shardings = shardings
         else:
             self.batch_sharding = None
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        if self._state_shardings is not None and zero1:
+            # pin the output layout so the sharded moments never silently
+            # collapse to replicated between steps (donation then reuses
+            # the same buffers)
+            self._train_step = jax.jit(
+                self._train_step_impl,
+                donate_argnums=(0,),
+                out_shardings=(self._state_shardings, None, None),
+            )
+        else:
+            self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ---- jitted impls -------------------------------------------------
@@ -146,7 +196,15 @@ class Trainer:
 
     def _put(self, batch: np.ndarray) -> jax.Array:
         if self.batch_sharding is not None:
-            return jax.device_put(batch, self.batch_sharding)
+            if batch.shape[0] % self.mesh.shape.get("data", 1) == 0:
+                return jax.device_put(batch, self.batch_sharding)
+            # remainder batch (a drop_last=False val/test tail smaller
+            # than the DP degree): place replicated — numerically
+            # identical, just unsharded for this one odd shape (torch
+            # DataParallel scatters uneven batches natively;
+            # jax.device_put requires divisibility)
+            rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+            return jax.device_put(batch, rep)
         return jnp.asarray(batch)
 
     def _mesh_ctx(self):
@@ -159,6 +217,11 @@ class Trainer:
 
     def train_epoch(self, loader, lr: float, clip_norm: float) -> Dict[str, float]:
         from adnm_tpu.data.loader import device_prefetch
+        from adnm_tpu.parallel.mesh import assert_training_mesh
+
+        # Training-only guard: >=3-axis meshes miscompute weight grads in
+        # this XLA version (eval/inference on them is fine and tested).
+        assert_training_mesh(self.mesh)
 
         losses = []
         gnorms = []
@@ -295,9 +358,8 @@ class Trainer:
 
     def load(self, ckpt_path: str):
         self.state = ckpt.restore_state(ckpt_path, self.state)
-        if self.mesh is not None:
-            rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
-            self.state = jax.device_put(self.state, rep)
+        if self._state_shardings is not None:
+            self.state = jax.device_put(self.state, self._state_shardings)
 
 
 def optax_global_norm(tree) -> jax.Array:

@@ -13,6 +13,7 @@ import dataclasses
 import math
 from typing import Callable, Optional
 
+import jax.numpy as jnp
 import optax
 
 from adnm_tpu.losses import get_loss
@@ -57,12 +58,17 @@ class TrainPreset:
     momentum: float = 0.0
     adam_eps: float = 1e-8
 
-    def make_optimizer(self) -> optax.GradientTransformation:
+    def make_optimizer(self, pad_to: int = 1) -> optax.GradientTransformation:
         """Optimizer with injected LR (the loop sets it per epoch).
 
         Wrapped in optax.flatten: the update runs on ONE raveled vector
         instead of ~1800 leaves — on TPU the per-leaf op overhead
-        dominated the step (measured 17ms of a 21ms ADNM train step)."""
+        dominated the step (measured 17ms of a 21ms ADNM train step).
+
+        ``pad_to > 1`` pads the raveled vector to that multiple so the
+        moment buffers split evenly across a ZeRO-1 'data' shard
+        (Trainer(shard_opt_state=True) passes the DP degree). Padded
+        entries carry zero gradient, so they never produce an update."""
         if self.opt_family == "adamw":
             inner = optax.inject_hyperparams(optax.adamw)(
                 learning_rate=self.base_lr, b1=0.9, b2=0.999,
@@ -76,7 +82,37 @@ class TrainPreset:
             )
         else:
             raise ValueError(self.opt_family)
+        if pad_to > 1:
+            return _flatten_padded(inner, pad_to)
         return optax.flatten(inner)
+
+
+def _flatten_padded(inner: optax.GradientTransformation, multiple: int) -> optax.GradientTransformation:
+    """optax.flatten with the raveled vector zero-padded to a multiple of
+    ``multiple``: the moment buffers then shard evenly over a DP axis
+    (ZeRO-1). Same state structure as optax.flatten (the loop's set_lr
+    still finds .hyperparams); padded lanes see zero gradients, zero
+    params, and therefore zero updates for AdamW/Adam/SGD alike."""
+    from jax.flatten_util import ravel_pytree
+
+    def _flat_pad(tree):
+        flat, unravel = ravel_pytree(tree)
+        pad = (-flat.size) % multiple
+        return jnp.pad(flat, (0, pad)), flat.size, unravel
+
+    def init(params):
+        flat, _, _ = _flat_pad(params)
+        return inner.init(flat)
+
+    def update(updates, state, params=None):
+        flat_u, n, unravel = _flat_pad(updates)
+        flat_p = None
+        if params is not None:
+            flat_p, _, _ = _flat_pad(params)
+        new_u, new_state = inner.update(flat_u, state, flat_p)
+        return unravel(new_u[:n]), new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def _sgd_torch(learning_rate, momentum=0.0, weight_decay=0.0):

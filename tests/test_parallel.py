@@ -95,6 +95,31 @@ class TestModelSeqSharding:
         assert not np.isnan(y_sh).any()
         np.testing.assert_allclose(y_sh, y_ref, rtol=1e-4, atol=1e-5)
 
+    def test_tp_forward_matches_unsharded(self):
+        """Head/hidden-channel tensor parallelism over 'model' (plus
+        spatial 'seq' sharding of the pyramid) must be a pure layout
+        change: same outputs as the single-device forward."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from adnm_tpu.models.adnm_unet import ADNMUNet
+
+        m = ADNMUNet(channels=3, out_channels=2, kernel=(3, 3, 3), **self.CFG)
+        x = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (4, 3, 1, 32, 32)).astype(np.float32)
+        )
+        v = jax.jit(m.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), x, train=False
+        )
+        fwd = jax.jit(lambda p, x: m.apply({"params": p}, x, train=False))
+        y_ref = np.asarray(fwd(v["params"], x))
+        mesh = make_mesh(8, axes=("data", "seq", "model"), shape=(2, 2, 2))
+        with jax.sharding.set_mesh(mesh):
+            xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+            ps = jax.device_put(v["params"], NamedSharding(mesh, P()))
+            y_sh = np.asarray(fwd(ps, xs))
+        assert not np.isnan(y_sh).any()
+        np.testing.assert_allclose(y_sh, y_ref, rtol=1e-4, atol=1e-5)
+
     def test_dp_seq_train_step(self):
         from adnm_tpu.models.adnm_unet import ADNMUNet
         from adnm_tpu.train import Trainer, get_preset
@@ -110,3 +135,147 @@ class TestModelSeqSharding:
         assert np.isfinite(stats["loss"])
         leaf = jax.tree.leaves(trainer.state.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+class TestZero1:
+    """ZeRO-1 (Trainer(shard_opt_state=True)): optimizer moments sharded
+    over 'data' must produce the SAME step as the replicated baseline,
+    and must actually stay sharded across steps."""
+
+    def _make(self, mesh=None, **kw):
+        from adnm_tpu.models import create_model
+        from adnm_tpu.train import Trainer, get_preset
+
+        model = create_model("SmaATUnet", 5, 2, 6)
+        preset = get_preset("SmaATUnet", 5, 2, 6, "Shanghai")
+        return Trainer(model, preset, 5, 2, img_size=32, mesh=mesh, **kw)
+
+    def test_matches_replicated_and_stays_sharded(self):
+        mesh = make_mesh(8, axes=("data",))
+        batch = np.random.default_rng(0).uniform(0, 1, (8, 7, 1, 32, 32)).astype(np.float32)
+
+        t_rep = self._make(mesh=mesh)
+        t_z1 = self._make(mesh=mesh, shard_opt_state=True)
+
+        # the big raveled moment vectors start sharded over 'data'
+        big = [
+            leaf for leaf in jax.tree.leaves(t_z1.state.opt_state)
+            if getattr(leaf, "ndim", 0) == 1 and leaf.size >= 1024
+        ]
+        assert big, "expected raveled optimizer moment vectors"
+        assert all(not leaf.sharding.is_fully_replicated for leaf in big)
+
+        for _ in range(2):
+            s_rep = t_rep.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+            s_z1 = t_z1.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+        np.testing.assert_allclose(s_z1["loss"], s_rep["loss"], rtol=1e-5, atol=1e-6)
+        p_rep = jax.tree.leaves(t_rep.state.params)
+        p_z1 = jax.tree.leaves(t_z1.state.params)
+        for a, b in zip(p_rep, p_z1):
+            # Identical in exact arithmetic (the padded-flatten optimizer
+            # is verified bit-exact vs optax.flatten in isolation), but
+            # pinning the moment shardings makes XLA partition the whole
+            # step differently — grad all-reduce becomes reduce-scatter,
+            # BatchNorm stat reductions reorder — so float32 drift
+            # compounds over the two steps (observed ~2e-5 abs / 0.5%
+            # rel on a few near-zero weights).
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-2, atol=1e-4)
+
+        # moments are STILL sharded after donated steps (out_shardings pin)
+        big_after = [
+            leaf for leaf in jax.tree.leaves(t_z1.state.opt_state)
+            if getattr(leaf, "ndim", 0) == 1 and leaf.size >= 1024
+        ]
+        assert all(not leaf.sharding.is_fully_replicated for leaf in big_after)
+
+
+class TestXlaThreeAxisGradDefect:
+    """Pins the XLA v0.9.0 SPMD weight-gradient defect that forces the
+    assert_training_mesh guard (adnm_tpu/parallel/mesh.py).
+
+    On a mesh with >=3 non-trivial axes, the weight gradient of an op
+    adjacent to an activation reshard boundary is double-counted over
+    the axes the operands are replicated on — here, exactly 2x with a
+    size-2 third axis — while the loss and activation cotangents stay
+    correct. The identical program on a 2-axis mesh is exact. Verified
+    identical under both the Shardy and legacy GSPMD partitioners.
+
+    If a jax upgrade fixes this, test_three_axis_mesh_doubles_weight_grad
+    FAILS (the ratio drops to 1.0): that is the signal to delete this
+    class, drop assert_training_mesh, and re-enable >=3-axis training
+    meshes (TP x seq x DP)."""
+
+    @staticmethod
+    def _grad_ratios(mesh):
+        import math
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rng = np.random.default_rng(0)
+        B, H, W, C = 4, 16, 16, 32
+        x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, C)).astype(np.float32))
+        w1 = jnp.asarray(rng.uniform(-1, 1, (C, C)).astype(np.float32) / math.sqrt(C))
+        w2 = jnp.asarray(
+            rng.uniform(-1, 1, (3, 3, C, C)).astype(np.float32) / (3 * math.sqrt(C))
+        )
+
+        def f(x, w1, w2):
+            y = jnp.einsum("bhwc,cd->bhwd", x, w1)
+            y = jax.lax.with_sharding_constraint(y, P("data", "seq", None, None))
+            y = jax.nn.gelu(y)
+            z = jax.lax.conv_general_dilated(
+                y, w2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            return jnp.sum(jnp.square(z))
+
+        def fref(x, w1, w2):
+            y = jax.nn.gelu(jnp.einsum("bhwc,cd->bhwd", x, w1))
+            z = jax.lax.conv_general_dilated(
+                y, w2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            return jnp.sum(jnp.square(z))
+
+        g_ref = jax.jit(jax.grad(fref, argnums=(1, 2)))(x, w1, w2)
+        gfn = jax.jit(jax.grad(f, argnums=(1, 2)))
+        with jax.sharding.set_mesh(mesh):
+            xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+            g_sh = gfn(xs, w1, w2)
+        ratios = []
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
+            a, b = np.asarray(a), np.asarray(b)
+            mask = np.abs(a) > 0.3 * np.max(np.abs(a))
+            ratios.append(float(np.median(b[mask] / a[mask])))
+        return ratios  # (w1, w2)
+
+    def test_two_axis_mesh_is_exact(self):
+        r1, r2 = self._grad_ratios(make_mesh(8, axes=("data", "seq"), shape=(4, 2)))
+        np.testing.assert_allclose([r1, r2], [1.0, 1.0], rtol=1e-4)
+
+    def test_three_axis_mesh_doubles_weight_grad(self):
+        r1, r2 = self._grad_ratios(
+            make_mesh(8, axes=("data", "seq", "model"), shape=(2, 2, 2))
+        )
+        assert abs(r1 - 1.0) < 1e-4, r1
+        if abs(r2 - 1.0) < 1e-4:
+            pytest.fail(
+                "XLA's 3-axis-mesh weight-grad double-count appears FIXED in "
+                "this jax version: delete TestXlaThreeAxisGradDefect, remove "
+                "parallel.mesh.assert_training_mesh, and re-enable >=3-axis "
+                "training meshes (see adnm_tpu/parallel/mesh.py)."
+            )
+        np.testing.assert_allclose(r2, 2.0, rtol=1e-3)
+
+    def test_trainer_guards_three_axis_mesh(self):
+        from adnm_tpu.models import create_model
+        from adnm_tpu.train import Trainer, get_preset
+
+        mesh = make_mesh(8, axes=("data", "seq", "model"), shape=(2, 2, 2))
+        model = create_model("SmaATUnet", 5, 2, 6)
+        preset = get_preset("SmaATUnet", 5, 2, 6, "Shanghai")
+        trainer = Trainer(model, preset, 5, 2, img_size=32, mesh=mesh)
+        batch = np.random.default_rng(0).uniform(0, 1, (8, 7, 1, 32, 32)).astype(np.float32)
+        with pytest.raises(ValueError, match="3 non-trivial axes|>=3"):
+            trainer.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+        # eval on the same mesh is allowed (forward is correct under TP)
+        loss, _, _ = trainer.eval_epoch([batch])
+        assert np.isfinite(loss)
