@@ -267,14 +267,28 @@ class EncoderToDecoder(nn.Module):
         x = act_in(x + gama * res)
         x = scale * _NORMS[_norm_name(self.instance_norm)](d)(x) + shift
 
+        am = jax.sharding.get_abstract_mesh()
+        seq_meshed = am is not None and not am.empty and "seq" in am.axis_names
+
         def pool_pair(v, wh, ww):
-            # Explicit finite padding + VALID windows instead of padded
-            # reduce-windows: XLA's SPMD partitioner mishandles
-            # max_pool's -inf window padding on a sharded spatial dim
-            # (observed inf/NaN on the 8-device CPU mesh when the conv
-            # pyramid is 'seq'-sharded). Zero-padded VALID avg equals
-            # count_include_pad=True SAME exactly; finite-min padding is
-            # equivalent for max since every window holds real data.
+            if not seq_meshed:
+                # fast path (single chip / DP-only mesh): padded SAME
+                # reduce-windows fuse into one pass over the feature map
+                pad = ((wh // 2, wh // 2), (ww // 2, ww // 2))
+                mx = nn.max_pool(v, (wh, ww), strides=(1, 1), padding=pad)
+                av = nn.avg_pool(v, (wh, ww), strides=(1, 1), padding=pad, count_include_pad=True)
+                return mx + av
+            # Under a 'seq'-sharded mesh: explicit finite padding + VALID
+            # windows instead of padded reduce-windows — XLA's SPMD
+            # partitioner mishandles max_pool's -inf window padding on a
+            # sharded spatial dim (observed inf/NaN on the 8-device CPU
+            # mesh when the conv pyramid is 'seq'-sharded), and this
+            # module's replication pin above is only a constraint on the
+            # input, not on the pool's own operand sharding. Zero-padded
+            # VALID avg equals count_include_pad=True SAME exactly;
+            # finite-min padding is equivalent for max since every window
+            # holds real data. (Costs one padded copy per pool, so it is
+            # gated to meshed traces only.)
             pad = ((0, 0), (wh // 2, wh // 2), (ww // 2, ww // 2), (0, 0))
             neg = jnp.finfo(v.dtype).min
             mx = nn.max_pool(
