@@ -37,6 +37,11 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard the optimizer moments over the mesh's "
                         "'data' axis instead of replicating them")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (fp32 params/optimizer — mixed "
+                        "precision; the loss is computed in fp32). This is "
+                        "the benched TPU configuration — roughly halves the "
+                        "step time vs fp32 compute on the MXU")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrained-npz", default=None,
                    help="TransUnet only: ImageNet R50+ViT-B_16 .npz to initialize "
@@ -78,6 +83,7 @@ def build(args, need_loaders=True):
         img_size=args.img_size, mesh=mesh, seed=args.seed,
         param_transform=param_transform,
         shard_opt_state=getattr(args, "zero1", False),
+        compute_dtype=jax.numpy.bfloat16 if getattr(args, "bf16", False) else jax.numpy.float32,
     )
     if getattr(args, "pretrained_npz", None):
         if args.model != "TransUnet":

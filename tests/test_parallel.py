@@ -189,6 +189,40 @@ class TestZero1:
         assert all(not leaf.sharding.is_fully_replicated for leaf in big_after)
 
 
+class TestZero1Checkpoint:
+    """ZeRO-1 resume: saving gathers the 'data'-sharded moment vectors to
+    host (checkpoint.save_state device_gets), and Trainer.load re-shards
+    them via the pinned state shardings — a mid-run checkpoint must
+    resume the exact optimization trajectory."""
+
+    def test_save_restore_resumes_sharded(self, tmp_path):
+        from adnm_tpu.models import create_model
+        from adnm_tpu.train import Trainer, get_preset
+
+        mesh = make_mesh(8, axes=("data",))
+        model = create_model("SmaATUnet", 5, 2, 6)
+        preset = get_preset("SmaATUnet", 5, 2, 6, "Shanghai")
+        batch = np.random.default_rng(0).uniform(0, 1, (8, 7, 1, 32, 32)).astype(np.float32)
+
+        from adnm_tpu.train import checkpoint as ckpt
+
+        t1 = Trainer(model, preset, 5, 2, img_size=32, mesh=mesh, shard_opt_state=True)
+        t1.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+        ckpt.save_state(str(tmp_path / "z1"), t1.state)
+        expect = t1.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+
+        t2 = Trainer(model, preset, 5, 2, img_size=32, mesh=mesh, shard_opt_state=True)
+        t2.load(str(tmp_path / "z1"))
+        # moments come back SHARDED after restore
+        big = [
+            leaf for leaf in jax.tree.leaves(t2.state.opt_state)
+            if getattr(leaf, "ndim", 0) == 1 and leaf.size >= 1024
+        ]
+        assert big and all(not leaf.sharding.is_fully_replicated for leaf in big)
+        got = t2.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+        np.testing.assert_allclose(got["loss"], expect["loss"], rtol=1e-5, atol=1e-6)
+
+
 class TestXlaThreeAxisGradDefect:
     """Pins the XLA v0.9.0 SPMD weight-gradient defect that forces the
     assert_training_mesh guard (adnm_tpu/parallel/mesh.py).
