@@ -24,6 +24,10 @@ def main(argv=None):
                    help="restore the full train state (params+opt+step) from the best checkpoint before training")
     p.add_argument("--save-every", type=int, default=None,
                    help="also write rotating epoch snapshots every N epochs")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture an XLA profiler trace of the training run "
+                        "into DIR (view with TensorBoard/Perfetto; "
+                        "utils.profiling.profile_trace)")
     args = p.parse_args(argv)
 
     trainer, (train_loader, val_loader, test_loader), (ti, to, _, thresholds) = build(args)
@@ -34,8 +38,16 @@ def main(argv=None):
     print(f"model {args.model}  params "
           f"{sum(x.size for x in __import__('jax').tree.leaves(trainer.state.params)):,}")
     metrics_path = os.path.join(args.root, "results", args.dataset, f"{args.model}_train.jsonl")
-    trainer.fit(train_loader, val_loader, test_loader, epochs=args.epochs,
-                ckpt_path=ckpt_path, metrics_path=metrics_path, save_every=args.save_every)
+    import contextlib
+
+    from adnm_tpu.utils.profiling import profile_trace
+
+    prof = profile_trace(args.profile) if args.profile else contextlib.nullcontext()
+    with prof:
+        trainer.fit(train_loader, val_loader, test_loader, epochs=args.epochs,
+                    ckpt_path=ckpt_path, metrics_path=metrics_path, save_every=args.save_every)
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
 
     if args.no_final_eval:
         return
