@@ -63,8 +63,18 @@ class Trainer:
         compute_dtype: Any = jnp.float32,
         param_transform: Optional[Callable] = None,
         shard_opt_state: bool = False,
+        remat_forward: bool = False,
     ):
-        """``shard_opt_state=True`` (ZeRO-1) shards the optimizer moments
+        """``remat_forward=True`` wraps the training forward in
+        ``jax.checkpoint``: the backward recomputes the whole forward
+        instead of storing activations — numerics identical, activation
+        memory ~O(1) in depth. On a v5e chip this fits batch 16 at the
+        reference task shape (vs 8 without), for ~26%% more training
+        throughput (68k vs 54k frames/s) at ~60%% more step FLOPs; see
+        bench.py. Skipped automatically for BatchNorm models (mutable
+        batch_stats don't thread through jax.checkpoint).
+
+        ``shard_opt_state=True`` (ZeRO-1) shards the optimizer moments
         over the mesh's 'data' axis instead of replicating them. The
         optimizer runs on ONE raveled vector (optax.flatten, see
         presets.make_optimizer), so the shard is a clean 1-D split; XLA
@@ -80,6 +90,7 @@ class Trainer:
         self.img_size = img_size
         self.mesh = mesh
         self.compute_dtype = compute_dtype
+        self.remat_forward = remat_forward
         zero1 = (
             shard_opt_state
             and mesh is not None
@@ -170,7 +181,13 @@ class Trainer:
         rngs = {"dropout": jax.random.fold_in(self._base_rng, state.step)}
 
         def loss_fn(params):
-            out, new_bs = self._apply(params, state.batch_stats, imgs, True, rngs)
+            if self.remat_forward and not state.batch_stats:
+                out = jax.checkpoint(
+                    lambda p, im: self._apply(p, state.batch_stats, im, True, rngs)[0]
+                )(params, imgs)
+                new_bs = state.batch_stats
+            else:
+                out, new_bs = self._apply(params, state.batch_stats, imgs, True, rngs)
             loss = self.preset.loss_fn(out.astype(jnp.float32), targets)
             return loss, new_bs
 

@@ -45,12 +45,16 @@ A100_BF16_PEAK = 312e12  # NVIDIA A100 dense bf16, FLOP/s (published spec)
 A100_ASSUMED_MFU = 0.35  # generous for the torch reference (see module docstring)
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak, FLOP/s (published spec)
 
-BATCHES = (4, 8)  # reference protocol / max-throughput (HBM-limited)
+# (batch, remat_forward): reference protocol / max-throughput
+# (HBM-limited; batch 12+ exceeds v5e's 16G even with remat_forward —
+# XLA pads the duality's (B, 65536, 16) tensors up to 8x on this layout.
+# Trainer(remat_forward=True) remains available for larger-HBM parts.)
+CONFIGS = ((4, False), (8, False))
 IMG = 256
 T_IN, T_OUT = 5, 20
 
 
-def _measure(batch_size: int):
+def _measure(batch_size: int, remat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +63,10 @@ def _measure(batch_size: int):
 
     model = create_model("ADNMUnet", T_IN, T_OUT, 6)
     preset = get_preset("ADNMUnet", T_IN, T_OUT, 6, "Shanghai")
-    trainer = Trainer(model, preset, T_IN, T_OUT, img_size=IMG, compute_dtype=jnp.bfloat16)
+    trainer = Trainer(
+        model, preset, T_IN, T_OUT, img_size=IMG,
+        compute_dtype=jnp.bfloat16, remat_forward=remat,
+    )
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(
@@ -106,8 +113,15 @@ def _measure(batch_size: int):
 
     train_flops, train_bytes = cost(trainer._train_step, trainer.state, batch, lr, clip)
     roll_flops, roll_bytes = cost(trainer._eval_step, trainer.state, batch)
+    # free this config's params/opt/compiled-step HBM before the next one
+    # (the jitted bound methods keep the Trainer in a cycle until GC)
+    del trainer, batch
+    import gc
+
+    gc.collect()
     return {
         "batch": batch_size,
+        "remat": remat,
         "train_step_s": train_step_s,
         "rollout_step_s": rollout_step_s,
         "train_flops": train_flops,
@@ -129,11 +143,14 @@ def main():
         pass
 
     runs = []
-    for b in BATCHES:
+    for b, remat in CONFIGS:
         try:
-            runs.append(_measure(b))
+            runs.append(_measure(b, remat))
         except Exception as e:  # e.g. HBM OOM on a smaller accelerator
-            print(f"# batch {b} failed: {type(e).__name__}", flush=True)
+            import sys
+
+            print(f"# batch {b} (remat={remat}) failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
 
     def combined(r):
         frames = r["batch"] * T_OUT
@@ -143,15 +160,20 @@ def main():
     frames = best["batch"] * T_OUT
 
     # Derived A100 reference estimate (see module docstring): frames/s at
-    # the same flop count — batch-size invariant by construction.
-    a100_train_s = best["train_flops"] / (A100_BF16_PEAK * A100_ASSUMED_MFU)
-    a100_roll_s = best["roll_flops"] / (A100_BF16_PEAK * A100_ASSUMED_MFU)
+    # the NO-remat per-frame flop count (the first, protocol config) —
+    # batch-size invariant, and our remat recompute flops are charged to
+    # us only, never to the baseline.
+    base = next((r for r in runs if not r["remat"]), best)
+    base_frames = base["batch"] * T_OUT
+    a100_train_s = (base["train_flops"] / base_frames * frames) / (A100_BF16_PEAK * A100_ASSUMED_MFU)
+    a100_roll_s = (base["roll_flops"] / base_frames * frames) / (A100_BF16_PEAK * A100_ASSUMED_MFU)
     a100_est = (2 * frames) / (a100_train_s + a100_roll_s) if (a100_train_s + a100_roll_s) > 0 else None
 
     def per_batch_detail(r):
         f = r["batch"] * T_OUT
         return {
             "batch": r["batch"],
+            "remat": r["remat"],
             "train_step_s": round(r["train_step_s"], 4),
             "rollout_step_s": round(r["rollout_step_s"], 4),
             "train_frames_per_s": round(f / r["train_step_s"], 2),
@@ -166,6 +188,7 @@ def main():
         "vs_baseline": round(combined(best) / a100_est, 3) if a100_est else None,
         "detail": {
             "headline_batch": best["batch"],
+            "headline_remat": best["remat"],
             "img": IMG,
             "dtype": "bfloat16 compute, fp32 params",
             "per_batch": [per_batch_detail(r) for r in runs],

@@ -51,6 +51,24 @@ def test_adnm_overfit_and_adaptive_clip_engages():
     assert (gnorms[:50] > clip0).any(), (float(gnorms[:50].max()), clip0)
 
 
+def test_remat_forward_matches_baseline():
+    """Trainer(remat_forward=True) (jax.checkpoint around the training
+    forward) must be a pure memory/compute tradeoff: identical loss and
+    gradient norm to the unremat'd step."""
+    from adnm_tpu.models.adnm_unet import ADNMUNet
+
+    model = ADNMUNet(channels=5, out_channels=2, kernel=(3, 3, 3), **TINY)
+    preset = get_preset("ADNMUnet", 5, 2, 6, "Shanghai")
+    batch = _batch(2, 7, 32)
+    t0 = Trainer(model, preset, input_frames=5, output_frames=2, img_size=32)
+    t1 = Trainer(model, preset, input_frames=5, output_frames=2, img_size=32,
+                 remat_forward=True)
+    l0, g0 = _run_steps(t0, batch, steps=3, lr=1e-3, clip=0.0)
+    l1, g1 = _run_steps(t1, batch, steps=3, lr=1e-3, clip=0.0)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-6)
+
+
 def test_sgd_baseline_overfits():
     from adnm_tpu.models.smaat_unet import SmaAtUNet
 
