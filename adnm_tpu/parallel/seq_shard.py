@@ -17,7 +17,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 top-level API; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def sharded_linear_attn_dual(
