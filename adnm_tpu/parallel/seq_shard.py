@@ -51,7 +51,7 @@ def sharded_linear_attn_dual(
             P(),  # D
         ),
         out_specs=P(bspec, seq_axis, None, None),
-        check_rep=False,
+        check_vma=False,  # jax >= 0.9 name for check_rep
     )
     def f(x_l, dt_l, A_f, B_l, C_l, D_f):
         dA = dt_l * A_f
