@@ -98,8 +98,10 @@ def _measure(batch_size: int, remat: bool = False):
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n_iter
 
-    train_step_s = min(time_train() for _ in range(n_trials))
-    rollout_step_s = min(time_rollout() for _ in range(n_trials))
+    train_trials = [time_train() for _ in range(n_trials)]
+    rollout_trials = [time_rollout() for _ in range(n_trials)]
+    train_step_s = min(train_trials)
+    rollout_step_s = min(rollout_trials)
 
     def cost(fn, *a):
         """XLA-counted flops + bytes of the compiled executable."""
@@ -124,6 +126,8 @@ def _measure(batch_size: int, remat: bool = False):
         "remat": remat,
         "train_step_s": train_step_s,
         "rollout_step_s": rollout_step_s,
+        "train_trials_s": train_trials,
+        "rollout_trials_s": rollout_trials,
         "train_flops": train_flops,
         "roll_flops": roll_flops,
         "train_bytes": train_bytes,
@@ -156,6 +160,16 @@ def main():
         frames = r["batch"] * T_OUT
         return (2 * frames) / (r["train_step_s"] + r["rollout_step_s"])
 
+    if not runs:
+        # keep the one-JSON-line contract even when every config fails
+        # (e.g. HBM OOM on a smaller accelerator)
+        print(json.dumps({
+            "metric": "nowcast frames/sec/chip (train + rollout)",
+            "value": None, "unit": "frames/s/chip", "vs_baseline": None,
+            "error": "all benchmark configs failed (see stderr)",
+        }))
+        return
+
     best = max(runs, key=combined)
     frames = best["batch"] * T_OUT
 
@@ -176,10 +190,22 @@ def main():
             "remat": r["remat"],
             "train_step_s": round(r["train_step_s"], 4),
             "rollout_step_s": round(r["rollout_step_s"], 4),
+            # measured spread across trials (host/tunnel dispatch noise;
+            # the headline uses best-of-trials)
+            "train_step_s_trials": [round(t, 4) for t in r["train_trials_s"]],
+            "rollout_step_s_trials": [round(t, 4) for t in r["rollout_trials_s"]],
             "train_frames_per_s": round(f / r["train_step_s"], 2),
             "rollout_frames_per_s": round(f / r["rollout_step_s"], 2),
             "combined_frames_per_s": round(combined(r), 2),
         }
+
+    # Sensitivity of the derived-baseline multiplier to the assumed A100
+    # MFU (the one assumption in vs_baseline): vs_baseline scales
+    # linearly in assumed MFU, so report the band explicitly.
+    def vs_at_mfu(mfu):
+        if not a100_est:
+            return None
+        return round(combined(best) / (a100_est * (mfu / A100_ASSUMED_MFU)), 3)
 
     result = {
         "metric": "nowcast frames/sec/chip (train + rollout)",
@@ -208,6 +234,11 @@ def main():
                 "a100_bf16_peak_tflops": A100_BF16_PEAK / 1e12,
                 "a100_assumed_mfu": A100_ASSUMED_MFU,
                 "a100_est_frames_per_s": round(a100_est, 2) if a100_est else None,
+                "vs_baseline_at_assumed_mfu": {
+                    "0.25": vs_at_mfu(0.25),
+                    "0.35": vs_at_mfu(0.35),
+                    "0.50": vs_at_mfu(0.50),
+                },
                 "formula": "a100_step_s = xla_flops / (312e12 * 0.35); "
                            "vs_baseline = ours / a100_est (same flop count both "
                            "sides; frames-per-flop is batch-invariant)",
