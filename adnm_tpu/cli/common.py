@@ -39,10 +39,11 @@ def add_common_args(p: argparse.ArgumentParser):
                         "'data' axis instead of replicating them")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the training forward (jax.checkpoint): "
-                        "activation memory ~O(1) in depth, so larger batches "
-                        "fit HBM (batch 16 vs 8 at 256^2 on v5e, ~26%% more "
-                        "throughput); numerics identical. Ignored for "
-                        "BatchNorm models")
+                        "activation memory ~O(1) in depth at ~60%% more step "
+                        "FLOPs; numerics identical. Note: does NOT raise the "
+                        "max batch at 256^2 on 16G v5e (padded backward "
+                        "temporaries OOM first, see README) — intended for "
+                        "larger-HBM parts/shapes. Ignored for BatchNorm models")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params/optimizer — mixed "
                         "precision; the loss is computed in fp32). This is "
@@ -62,17 +63,39 @@ def task_shape(args):
     return 5, 20, 6, (20, 30, 35, 40)
 
 
+def _parse_mesh(spec: str):
+    """Validate an ``AXIS=N,...`` mesh spec. The batch is sharded over
+    'data' (Trainer hardcodes PartitionSpec('data')), so a 'data' axis is
+    required; malformed entries fail with a readable message instead of
+    an int('') traceback or a cryptic NamedSharding error downstream."""
+    axes, sizes = [], []
+    for part in spec.split(","):
+        name, eq, n = part.partition("=")
+        name = name.strip()
+        if not eq or not name or not n.strip().isdigit() or int(n) < 1:
+            raise SystemExit(
+                f"--mesh: malformed entry {part!r} (expected AXIS=N with "
+                f"N a positive integer, e.g. 'data=4,seq=2')"
+            )
+        if name in axes:
+            raise SystemExit(f"--mesh: duplicate axis {name!r}")
+        axes.append(name)
+        sizes.append(int(n))
+    if "data" not in axes:
+        raise SystemExit(
+            "--mesh: a 'data' axis is required (the batch is sharded over "
+            "'data'); add data=1 for a non-data-parallel mesh"
+        )
+    return axes, sizes
+
+
 def build(args, need_loaders=True):
     input_frames, output_frames, frame_interval, thresholds = task_shape(args)
     mesh = None
     if getattr(args, "mesh", None):
         from adnm_tpu.parallel import make_mesh
 
-        axes, sizes = [], []
-        for part in args.mesh.split(","):
-            name, _, n = part.partition("=")
-            axes.append(name.strip())
-            sizes.append(int(n))
+        axes, sizes = _parse_mesh(args.mesh)
         mesh = make_mesh(math.prod(sizes), axes=tuple(axes), shape=tuple(sizes))
     elif args.data_parallel:
         devs = jax.devices()

@@ -46,7 +46,7 @@ def main(argv=None):
     def forward(inp):
         # pad a target block so eval_step's slicing works uniformly
         batch = np.concatenate([inp, np.zeros((inp.shape[0], to) + inp.shape[2:], np.float32)], axis=1)
-        _, out = trainer._eval_step(trainer.state, trainer._put(batch))
+        _, out = trainer.predict(batch)
         return np.asarray(out)
 
     preds = forward(x)

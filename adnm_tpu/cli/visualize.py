@@ -32,7 +32,7 @@ def main(argv=None):
 
     count = 0
     for batch in test_loader:
-        _, preds = trainer._eval_step(trainer.state, trainer._put(batch))
+        _, preds = trainer.predict(batch)
         preds = np.asarray(preds)
         for b in range(preds.shape[0]):
             if count >= args.max_samples:

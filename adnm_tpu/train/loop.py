@@ -68,11 +68,15 @@ class Trainer:
         """``remat_forward=True`` wraps the training forward in
         ``jax.checkpoint``: the backward recomputes the whole forward
         instead of storing activations — numerics identical, activation
-        memory ~O(1) in depth. On a v5e chip this fits batch 16 at the
-        reference task shape (vs 8 without), for ~26%% more training
-        throughput (68k vs 54k frames/s) at ~60%% more step FLOPs; see
-        bench.py. Skipped automatically for BatchNorm models (mutable
-        batch_stats don't thread through jax.checkpoint).
+        memory ~O(1) in depth, at ~60% more step FLOPs. Measured on a
+        16G v5e chip at the reference task shape (256^2): remat does
+        NOT raise the max batch (batch 12+ OOMs either way — XLA pads
+        the duality's (B, 65536, 16) backward tensors; see bench.py and
+        README), so leave it off there; it serves larger-HBM parts or
+        larger spatial shapes where activations, not padded temporaries,
+        are the binding constraint. Skipped automatically for BatchNorm
+        models (mutable batch_stats don't thread through
+        jax.checkpoint).
 
         ``shard_opt_state=True`` (ZeRO-1) shards the optimizer moments
         over the mesh's 'data' axis instead of replicating them. The
@@ -260,6 +264,18 @@ class Trainer:
             "avg_grad_norm": float(gnorms.mean()) if n else 0.0,
             "clip_ratio": clip_count / max(n, 1),
         }
+
+    def predict(self, batch: np.ndarray):
+        """One inference step: (loss, predictions) for a single host batch.
+
+        The public serving entry for drivers (cli/visualize, cli/predict):
+        activates the mesh context so in-model PartitionSpec annotations
+        (sequence sharding, tensor-parallel layouts) resolve exactly as in
+        eval_epoch — calling the jitted step without the mesh silently
+        no-ops those annotations and produces a different device layout.
+        """
+        with self._mesh_ctx():
+            return self._eval_step(self.state, self._put(batch))
 
     def eval_epoch(self, loader, collect: bool = False):
         from adnm_tpu.data.loader import device_prefetch
