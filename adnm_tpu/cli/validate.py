@@ -33,7 +33,12 @@ def main(argv=None):
     print(f"FAR:  {results['FAR']:.4f}")
     print(f"RMSE: {results['RMSE']:.2f}")
     print(f"SSIM: {results['SSIM']:.4f}")
-    print(f"LPIPS: {results['LPIPS']:.4f}")
+    if results["LPIPS_available"]:
+        print(f"LPIPS: {results['LPIPS']:.4f}")
+    else:
+        print("LPIPS: UNAVAILABLE (no pretrained weights in this "
+              "environment — export with scripts/export_lpips.py and set "
+              "ADNM_LPIPS_WEIGHTS; column must NOT be compared)")
 
 
 if __name__ == "__main__":

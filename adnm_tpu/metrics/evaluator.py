@@ -174,4 +174,8 @@ class SimplifiedEvaluator:
             "RMSE": rmse,
             "SSIM": ssim,
             "LPIPS": lpips_v,
+            # Loud machine-readable marker: consumers must check this
+            # before publishing an LPIPS column (no weights in-env ->
+            # the column is NaN, never silently comparable).
+            "LPIPS_available": self.lpips_fn is not None,
         }
