@@ -39,7 +39,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from adnm_tpu.core.layers import Conv2d, Dense, scalar_param
-from adnm_tpu.ops.ssd import linear_attn_dual, ssd_chunked_scan
+from adnm_tpu.ops.ssd import (
+    linear_attn_dual,
+    linear_attn_dual_seqminor,
+    ssd_chunked_scan,
+)
 
 
 def _dt_bias_init(key, nheads, dt_min=0.001, dt_max=0.1, dt_init_floor=1e-4):
@@ -72,6 +76,11 @@ class ADNSSDMixer(nn.Module):
     conv_bias: bool = False
     bias: bool = False
     dtype: Optional[jnp.dtype] = None
+    # Use the sequence-minor duality layout once L reaches this size
+    # (ops/ssd.py linear_attn_dual_seqminor: avoids 8-32x lane-padding
+    # of the (B, L, small) tensors in HBM at the refiner's L=65536;
+    # below it the transposes aren't worth it and L itself would pad).
+    seq_minor_min_l: int = 16384
 
     @nn.compact
     def __call__(self, u: jax.Array) -> jax.Array:
@@ -161,6 +170,22 @@ class ADNSSDMixer(nn.Module):
 
         def scan(xx, dd, AA, BB, CC, DD, reverse: bool):
             from adnm_tpu.parallel.mesh import maybe_shard
+
+            if self.linear_attn_duality and l >= self.seq_minor_min_l:
+                # Sequence-minor layout for the huge-L refiner mixers:
+                # one transpose in/out keeps every (L x small) duality
+                # tensor unpadded in HBM (see linear_attn_dual_seqminor).
+                def to_seq_t(t):  # (B, H, W, C) -> (B, C, L)
+                    return jnp.moveaxis(t, -1, 1).reshape(b, t.shape[-1], l)
+
+                xx = to_seq_t(xx).reshape(b, hh, self.headdim, l)
+                dd, BB, CC = to_seq_t(dd), to_seq_t(BB), to_seq_t(CC)
+                xx = maybe_shard(xx, "data", "model", None, "seq")
+                dd = maybe_shard(dd, "data", "model", "seq")
+                y = linear_attn_dual_seqminor(
+                    xx, dd, AA, BB, CC, DD, self.ssd_positive_dA
+                )
+                return jnp.moveaxis(y.reshape(b, hh * self.headdim, l), 1, -1)
 
             xx = to_seq(xx).reshape(b, l, hh, self.headdim)
             dd, BB, CC = to_seq(dd), to_seq(BB), to_seq(CC)

@@ -51,6 +51,40 @@ def linear_attn_dual(
     return y + x * D[None, None, :, None]
 
 
+def linear_attn_dual_seqminor(
+    x_t: jax.Array,
+    dt_t: jax.Array,
+    A: jax.Array,
+    B_t: jax.Array,
+    C_t: jax.Array,
+    D: jax.Array,
+    positive_dA: bool = True,
+) -> jax.Array:
+    """``linear_attn_dual`` in a sequence-minor (lane-friendly) layout.
+
+    x_t: (B, H, P, L); dt_t: (B, H, L); B_t/C_t: (B, N, L); returns
+    y_t: (B, H, P, L). Same math as ``linear_attn_dual`` (reference
+    models/ADNssd.py:252-299) — only the tensor layout differs.
+
+    Why: at the refiner's L=65536 with headdim P=4 and N=16, the
+    token-minor layout puts tiny dims (4/8/16) in the TPU lane position,
+    so every materialized (B, L, small) tensor pads to the 128-wide lane
+    tile — 8-32x HBM bloat on the backward's saved operands and
+    cotangents (dB/dC/dx). With L minor the big tensors tile perfectly
+    (lane = L, sublane = small dims >= 8) and the duality stays two
+    rank-3 matmuls per path: B/C are shared across heads, so
+    kv[b,n,c] = sum_l B[b,n,l] v[b,c,l] with c = (h,p) folded.
+    """
+    b, h, p, l = x_t.shape
+    dA = dt_t * A[None, :, None]  # (B, H, L)
+    if positive_dA:
+        dA = -dA
+    v = (x_t * dA[:, :, None, :]).reshape(b, h * p, l)
+    kv = jnp.einsum("bnl,bcl->bnc", B_t, v)
+    y = jnp.einsum("bnl,bnc->bcl", C_t, kv).reshape(b, h, p, l)
+    return y + x_t * D[None, :, None, None]
+
+
 def ssd_naive_scan(x, dt, A, B_mat, C_mat, D, chunk_size: int = 64) -> jax.Array:
     """O(L^2) causal SSD oracle: y_t = C_t^T sum_{s<=t} exp(a_{s+1..t}) B_s x_s dt_s + D x_t."""
     b, l, h, p = x.shape

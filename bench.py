@@ -45,11 +45,13 @@ A100_BF16_PEAK = 312e12  # NVIDIA A100 dense bf16, FLOP/s (published spec)
 A100_ASSUMED_MFU = 0.35  # generous for the torch reference (see module docstring)
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak, FLOP/s (published spec)
 
-# (batch, remat_forward): reference protocol / max-throughput
-# (HBM-limited; batch 12+ exceeds v5e's 16G even with remat_forward —
-# XLA pads the duality's (B, 65536, 16) tensors up to 8x on this layout.
-# Trainer(remat_forward=True) remains available for larger-HBM parts.)
-CONFIGS = ((4, False), (8, False))
+# (batch, remat_forward): reference protocol first, then probe upward —
+# larger batches are skipped gracefully if they OOM. The refiner's
+# seq-minor duality layout (ops/ssd.py linear_attn_dual_seqminor) keeps
+# the (B, small, 65536) tensors unpadded in HBM, lifting the old
+# batch-12 OOM ceiling caused by 8x lane padding of the token-minor
+# (B, 65536, 16) backward temporaries.
+CONFIGS = ((4, False), (8, False), (12, False), (16, False))
 IMG = 256
 T_IN, T_OUT = 5, 20
 

@@ -34,6 +34,45 @@ class TestLinearAttnDual:
         np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
 
 
+class TestSeqMinorDual:
+    def test_matches_token_minor(self):
+        """linear_attn_dual_seqminor is a pure layout change of
+        linear_attn_dual (used by the refiner's huge-L mixers to avoid
+        lane padding): identical outputs after transposing."""
+        from adnm_tpu.ops.ssd import linear_attn_dual_seqminor
+
+        for key, pos in ((0, True), (3, False)):
+            x, dt, A, B, C, D = _inputs(key)
+            y_ref = linear_attn_dual(x, dt, A, B, C, D, positive_dA=pos)
+            y_t = linear_attn_dual_seqminor(
+                jnp.moveaxis(x, 1, -1),  # (B, H, P, L)
+                jnp.moveaxis(dt, 1, -1),  # (B, H, L)
+                A,
+                jnp.moveaxis(B, 1, -1),  # (B, N, L)
+                jnp.moveaxis(C, 1, -1),
+                D,
+                positive_dA=pos,
+            )
+            np.testing.assert_allclose(
+                np.asarray(jnp.moveaxis(y_t, -1, 1)), np.asarray(y_ref),
+                rtol=1e-5, atol=1e-5,
+            )
+
+    def test_mixer_seq_minor_path_matches(self):
+        """Forcing the seq-minor threshold down onto a small grid must
+        not change the mixer's output (same params, same math)."""
+        from adnm_tpu.mixers import ADNSSDMixer
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+        m_ref = ADNSSDMixer(d_model=16, headdim=4)
+        y_ref, params = m_ref.init_with_output(jax.random.PRNGKey(1), x)
+        m_sm = ADNSSDMixer(d_model=16, headdim=4, seq_minor_min_l=1)
+        y_sm = m_sm.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(y_sm), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+        )
+
+
 class TestChunkedScan:
     def test_matches_naive(self):
         x, dt, A, B, C, D = _inputs(1)
