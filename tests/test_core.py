@@ -75,6 +75,36 @@ class TestConvs:
         yt = torch.nn.functional.conv2d(xt, wt, torch.from_numpy(b), padding=(0, 1), groups=8)
         np.testing.assert_allclose(np.asarray(y), yt.permute(0, 2, 3, 1).numpy(), atol=1e-4)
 
+    def test_grouped_conv_stride_and_multiplier_matches_torch(self):
+        """The tap-sum grouped path (layers._grouped_conv_tapsum) across
+        its full contract: stride 2, SAME padding, a channel multiplier
+        (features = 2*cin, torch depthwise-multiplier), and a grouped
+        (1 < groups < cin) case — all against torch."""
+        torch = pytest.importorskip("torch")
+        for groups, feats, stride, pad, tpad in (
+            (8, 16, 2, 1, 1),            # depthwise, multiplier 2, stride 2
+            (8, 8, 1, "same", 2),        # depthwise 5x5 SAME (the WTConv shape)
+            (4, 8, 1, 1, 1),             # grouped I=2
+        ):
+            k = 5 if pad == "same" else 3
+            x = rand(11, 2, 8, 8, 8)
+            m = L.Conv2d(features=feats, kernel_size=k, stride=stride,
+                         padding=pad, groups=groups)
+            params = m.init(jax.random.PRNGKey(4), x)
+            y = m.apply(params, x)
+            kk = np.asarray(params["params"]["kernel"])
+            b = np.asarray(params["params"]["bias"])
+            xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+            wt = torch.from_numpy(kk).permute(3, 2, 0, 1)
+            yt = torch.nn.functional.conv2d(
+                xt, wt, torch.from_numpy(b), stride=stride, padding=tpad,
+                groups=groups,
+            )
+            np.testing.assert_allclose(
+                np.asarray(y), yt.permute(0, 2, 3, 1).numpy(), atol=1e-4,
+                err_msg=f"groups={groups} feats={feats} stride={stride} pad={pad}",
+            )
+
     def test_conv_transpose_matches_torch(self):
         torch = pytest.importorskip("torch")
         # the UpSample config: kernel 3, stride 2, padding 1, output_padding 1
