@@ -40,10 +40,10 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the training forward (jax.checkpoint): "
                         "activation memory ~O(1) in depth at ~60%% more step "
-                        "FLOPs; numerics identical. Note: does NOT raise the "
-                        "max batch at 256^2 on 16G v5e (padded backward "
-                        "temporaries OOM first, see README) — intended for "
-                        "larger-HBM parts/shapes. Ignored for BatchNorm models")
+                        "FLOPs; numerics identical. Note: at 256^2 on 16G v5e "
+                        "batch 12 already fits without it (bench headline) — "
+                        "intended for larger-HBM parts/shapes. Ignored for "
+                        "BatchNorm models")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params/optimizer — mixed "
                         "precision; the loss is computed in fp32). This is "

@@ -69,12 +69,12 @@ class Trainer:
         ``jax.checkpoint``: the backward recomputes the whole forward
         instead of storing activations — numerics identical, activation
         memory ~O(1) in depth, at ~60% more step FLOPs. Measured on a
-        16G v5e chip at the reference task shape (256^2): remat does
-        NOT raise the max batch (batch 12+ OOMs either way — XLA pads
-        the duality's (B, 65536, 16) backward tensors; see bench.py and
-        README), so leave it off there; it serves larger-HBM parts or
-        larger spatial shapes where activations, not padded temporaries,
-        are the binding constraint. Skipped automatically for BatchNorm
+        16G v5e chip at the reference task shape (256^2): with the
+        seq-minor duality layout, batch 12 fits WITHOUT remat (the
+        bench headline), so leave it off there; it serves larger-HBM
+        parts or larger spatial shapes where activations are the
+        binding constraint (see bench.py and README "HBM ceiling").
+        Skipped automatically for BatchNorm
         models (mutable batch_stats don't thread through
         jax.checkpoint).
 
