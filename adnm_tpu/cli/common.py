@@ -44,6 +44,12 @@ def add_common_args(p: argparse.ArgumentParser):
                         "batch 12 already fits without it (bench headline) — "
                         "intended for larger-HBM parts/shapes. Ignored for "
                         "BatchNorm models")
+    p.add_argument("--no-refiner-remat", action="store_true",
+                   help="ADNMUnet only: do NOT rematerialize the refiner "
+                        "blocks' forward in the backward (the 65k-token "
+                        "mixers). Trades HBM for speed: measured ~14%% "
+                        "faster train step at batch <= 8 at 256^2 on 16G "
+                        "v5e; batch 12 needs the default (remat on) to fit")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params/optimizer — mixed "
                         "precision; the loss is computed in fp32). This is "
@@ -100,7 +106,15 @@ def build(args, need_loaders=True):
     elif args.data_parallel:
         devs = jax.devices()
         mesh = jax.sharding.Mesh(devs, ("data",))
-    model = create_model(args.model, input_frames, output_frames, frame_interval, img_size=args.img_size)
+    model_kwargs = {}
+    if getattr(args, "no_refiner_remat", False):
+        if args.model != "ADNMUnet":
+            raise SystemExit("--no-refiner-remat is only supported for --model ADNMUnet")
+        model_kwargs["refiner_remat"] = False
+    model = create_model(
+        args.model, input_frames, output_frames, frame_interval,
+        img_size=args.img_size, **model_kwargs,
+    )
     preset = get_preset(args.model, input_frames, output_frames, frame_interval, args.dataset)
     param_transform = None
     if args.model == "ADNMUnet":

@@ -415,6 +415,11 @@ class ADNMUNet(nn.Module):
     compute_dead_features: bool = False
     linear_attn_duality: bool = True
     mixer_type: str = "adnssd"
+    # Rematerialize the refiner blocks' forward in the backward pass.
+    # Default True (fits the most HBM configurations); with the seq-minor
+    # duality layout, batch <= 8 at 256^2 on 16G v5e also fits with False
+    # for a faster backward (no recompute) — measured A/B in README.
+    refiner_remat: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -436,7 +441,7 @@ class ADNMUNet(nn.Module):
         out = Refiner(
             self.refine_dim, self.refine_depth, self.refine_headdim,
             self.out_channels, self.wt_levels, self.out_expand,
-            self.norm_epsilon, self.instance_norm,
+            self.norm_epsilon, self.instance_norm, remat=self.refiner_remat,
             linear_attn_duality=self.linear_attn_duality,
             mixer_type=self.mixer_type, dtype=self.dtype, name="refiner",
         )(x, res)

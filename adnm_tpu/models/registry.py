@@ -31,11 +31,21 @@ def create_model(
     frame_interval: int,
     bn_axis_name: Optional[str] = None,
     img_size: int = 256,
+    **model_kwargs,
 ) -> nn.Module:
+    """``model_kwargs`` are forwarded to the ADNMUnet factory (e.g.
+    ``refiner_remat=False`` — measured ~14% faster train step at batch
+    <= 8 on 16G v5e; the default True fits larger batches)."""
     if model_name == "ADNMUnet":
         from adnm_tpu.models.adnm_unet import create_adnm_unet
 
-        return create_adnm_unet(input_frames, output_frames, frame_interval, img_size=img_size)
+        return create_adnm_unet(
+            input_frames, output_frames, frame_interval, img_size=img_size, **model_kwargs
+        )
+    if model_kwargs:
+        raise ValueError(
+            f"model kwargs {sorted(model_kwargs)} are only supported for ADNMUnet"
+        )
     if model_name == "SmaATUnet":
         from adnm_tpu.models.smaat_unet import SmaAtUNet
 
