@@ -1,0 +1,61 @@
+"""CLI plumbing tests (no model construction — argument parsing and
+validation only; the end-to-end CLI surfaces are exercised by
+tests/test_runbook.py and the driver's dryrun)."""
+
+import argparse
+
+import pytest
+
+from adnm_tpu.cli.common import _parse_mesh, add_common_args
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    return p.parse_args(argv)
+
+
+class TestMeshSpec:
+    def test_valid(self):
+        assert _parse_mesh("data=4,seq=2") == (["data", "seq"], [4, 2])
+        assert _parse_mesh("data=1") == (["data"], [1])
+
+    def test_malformed_entry(self):
+        for bad in ("data", "data=,seq=2", "data=0", "data=-2", "data=x"):
+            with pytest.raises(SystemExit):
+                _parse_mesh(bad)
+
+    def test_duplicate_axis(self):
+        with pytest.raises(SystemExit):
+            _parse_mesh("data=2,data=4")
+
+    def test_data_axis_required(self):
+        with pytest.raises(SystemExit):
+            _parse_mesh("seq=2,model=2")
+
+
+class TestRefinerRematFlag:
+    def test_parses(self):
+        args = _parse(["--model", "ADNMUnet", "--no-refiner-remat"])
+        assert args.no_refiner_remat is True
+        assert _parse(["--model", "ADNMUnet"]).no_refiner_remat is False
+
+    def test_factory_plumbs(self):
+        from adnm_tpu.models import create_model
+
+        m = create_model("ADNMUnet", 5, 20, 6, refiner_remat=False)
+        assert m.refiner_remat is False
+        assert create_model("ADNMUnet", 5, 20, 6).refiner_remat is True
+
+    def test_kwargs_rejected_for_other_models(self):
+        from adnm_tpu.models import create_model
+
+        with pytest.raises(ValueError, match="only supported for ADNMUnet"):
+            create_model("SmaATUnet", 5, 20, 6, refiner_remat=False)
+
+    def test_build_guard_non_adnm(self):
+        from adnm_tpu.cli.common import build
+
+        args = _parse(["--model", "SmaATUnet", "--no-refiner-remat", "--synthetic"])
+        with pytest.raises(SystemExit, match="only supported for --model ADNMUnet"):
+            build(args, need_loaders=False)
