@@ -78,7 +78,7 @@ def _parse_mesh(spec: str):
     for part in spec.split(","):
         name, eq, n = part.partition("=")
         name = name.strip()
-        if not eq or not name or not n.strip().isdigit() or int(n) < 1:
+        if not eq or not name or not n.strip().isdecimal() or int(n) < 1:
             raise SystemExit(
                 f"--mesh: malformed entry {part!r} (expected AXIS=N with "
                 f"N a positive integer, e.g. 'data=4,seq=2')"

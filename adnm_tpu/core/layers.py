@@ -209,10 +209,9 @@ def _grouped_conv_tapsum(x, kernel, strides, pad, groups):
         pw_t = max((ow - 1) * sw + kw - w, 0)
         pads = ((ph_t // 2, ph_t - ph_t // 2), (pw_t // 2, pw_t - pw_t // 2))
     else:
-        (ph, _), (pw, _) = pad
-        pads = ((ph, ph), (pw, pw))
-        oh = (h + 2 * ph - kh) // sh + 1
-        ow = (w + 2 * pw - kw) // sw + 1
+        pads = tuple((int(lo), int(hi)) for lo, hi in pad)
+        oh = (h + pads[0][0] + pads[0][1] - kh) // sh + 1
+        ow = (w + pads[1][0] + pads[1][1] - kw) // sw + 1
     xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
     y = None
     for dy in range(kh):
@@ -336,15 +335,34 @@ class ConvTranspose2d(nn.Module):
         # input channels contribute to each of `features` outputs.
         kernel = self.param("kernel", kernel_init, (kh, kw, cin // self.groups, self.features), jnp.float32)
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            jnp.flip(kernel, axis=(0, 1)).astype(dtype),
-            window_strides=(1, 1),
-            padding=[(kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)],
-            lhs_dilation=(sh, sw),
-            feature_group_count=self.groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        tpad = ((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw))
+        if self.groups > 1:
+            # Same XLA v0.9.0 SPMD weight-grad defect as Conv2d (defect
+            # #3, CLAUDE.md): grouped convs never go through lax's
+            # feature_group_count. Materialize the lhs dilation and reuse
+            # the gradient-exact tap-sum lowering (no model currently
+            # uses grouped transposed convs; this keeps the public
+            # `groups` field safe under every mesh).
+            b, h, w, _ = x.shape
+            xd = x.astype(dtype)
+            if sh > 1 or sw > 1:
+                xd = (
+                    jnp.zeros((b, (h - 1) * sh + 1, (w - 1) * sw + 1, cin), dtype)
+                    .at[:, ::sh, ::sw]
+                    .set(xd)
+                )
+            y = _grouped_conv_tapsum(
+                xd, jnp.flip(kernel, axis=(0, 1)).astype(dtype), (1, 1), tpad, self.groups
+            ).astype(dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                jnp.flip(kernel, axis=(0, 1)).astype(dtype),
+                window_strides=(1, 1),
+                padding=list(tpad),
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias",

@@ -80,6 +80,21 @@ def _measure(batch_size: int, remat: bool = False):
     )
     lr = jnp.float32(1e-3)
     clip = jnp.float32(0.025)
+    try:
+        return _measure_inner(trainer, batch, batch_size, remat, lr, clip)
+    finally:
+        # free this config's params/opt/compiled-step HBM before the next
+        # one EVEN IF it failed (e.g. the batch-16 OOM tripwire) — the
+        # jitted bound methods keep the Trainer in a ref cycle until GC,
+        # and a leaked dead Trainer would spuriously OOM later configs.
+        del trainer, batch
+        import gc
+
+        gc.collect()
+
+
+def _measure_inner(trainer, batch, batch_size, remat, lr, clip):
+    import jax
 
     # warmup/compile
     trainer.state, loss, gn = trainer._train_step(trainer.state, batch, lr, clip)
@@ -123,12 +138,6 @@ def _measure(batch_size: int, remat: bool = False):
 
     train_flops, train_bytes = cost(trainer._train_step, trainer.state, batch, lr, clip)
     roll_flops, roll_bytes = cost(trainer._eval_step, trainer.state, batch)
-    # free this config's params/opt/compiled-step HBM before the next one
-    # (the jitted bound methods keep the Trainer in a cycle until GC)
-    del trainer, batch
-    import gc
-
-    gc.collect()
     return {
         "batch": batch_size,
         "remat": remat,
@@ -163,6 +172,12 @@ def main():
 
             print(f"# batch {b} (remat={remat}) failed: {type(e).__name__}",
                   file=sys.stderr, flush=True)
+            # the traceback held the failed Trainer through _measure's
+            # finally; collect again now that it's dropped so the dead
+            # config's HBM can't bleed into the next one
+            import gc
+
+            gc.collect()
 
     def combined(r):
         frames = r["batch"] * T_OUT

@@ -45,6 +45,61 @@ class TestSeqSharding:
         np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
 
 
+class TestSeqMinorUnderMesh:
+    """The seq-minor duality branch (ADNSSDMixer.seq_minor_min_l) is the
+    DEFAULT execution path for the flagship refiner (L=65536) — this
+    covers its in-branch maybe_shard annotations under real meshes,
+    which the 32x32 sharding tests (L=1024 < 16384) never reach."""
+
+    def _mixer_and_data(self):
+        from adnm_tpu.mixers.ssd_mixer import ADNSSDMixer
+
+        m = ADNSSDMixer(d_model=16, headdim=4, seq_minor_min_l=1)
+        x = jnp.asarray(
+            np.random.default_rng(7).normal(size=(4, 8, 8, 16)).astype(np.float32)
+        )
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        loss = jax.jit(
+            jax.value_and_grad(lambda p, x: jnp.sum(m.apply({"params": p}, x) ** 2))
+        )
+        return v["params"], x, loss
+
+    def test_train_grads_match_on_data_seq_mesh(self):
+        """Forward AND weight grads through the seq-minor branch on the
+        training mesh must equal the meshless run (the 256^2 train step
+        runs exactly this branch under --mesh data=N,seq=M)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params, x, loss = self._mixer_and_data()
+        l_ref, g_ref = loss(params, x)
+        mesh = make_mesh(8, axes=("data", "seq"), shape=(4, 2))
+        with jax.sharding.set_mesh(mesh):
+            ps = jax.device_put(params, NamedSharding(mesh, P()))
+            xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+            l_sh, g_sh = loss(ps, xs)
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            g_sh, g_ref,
+        )
+
+    def test_forward_matches_on_tp_mesh(self):
+        """Inference-TP: the branch's ('data','model',None,'seq')
+        annotations on a 3-axis mesh are a pure layout change."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params, x, loss = self._mixer_and_data()
+        l_ref, _ = loss(params, x)
+        mesh = make_mesh(8, axes=("data", "seq", "model"), shape=(2, 2, 2))
+        with jax.sharding.set_mesh(mesh):
+            ps = jax.device_put(params, NamedSharding(mesh, P()))
+            xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+            l_sh, _ = loss(ps, xs)
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+
+
 class TestDataParallelTrainer:
     def test_dp_step_runs_and_replicates(self):
         from adnm_tpu.models import create_model
