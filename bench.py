@@ -151,8 +151,44 @@ def _measure_inner(trainer, batch, batch_size, remat, lr, clip):
     }
 
 
+def _backend_ready(timeout_s: float):
+    """Initialize the JAX backend on a watchdog: a wedged accelerator
+    tunnel makes jax.devices() block forever (observed when the axon
+    relay died mid-round), which would hang the driver instead of
+    honoring the one-JSON-line contract. Returns an error string, or
+    None when the backend is up (and then initialized for the caller)."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["ok"] = [str(d) for d in jax.devices()]
+        except Exception as e:
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return (f"jax platform init hung >{timeout_s:.0f}s "
+                f"(accelerator tunnel down?)")
+    return result.get("error")
+
+
 def main():
     import os
+
+    err = _backend_ready(float(os.environ.get("ADNM_BENCH_INIT_TIMEOUT_S", "240")))
+    if err:
+        print(json.dumps({
+            "metric": "nowcast frames/sec/chip (train + rollout)",
+            "value": None, "unit": "frames/s/chip", "vs_baseline": None,
+            "error": err,
+        }))
+        return
 
     import jax
 
