@@ -34,6 +34,17 @@ def add_common_args(p: argparse.ArgumentParser):
                         "limited to 2 non-trivial axes (XLA v0.9.0 weight-"
                         "grad defect on >=3-axis meshes); 3-axis meshes incl. "
                         "'model' are for validate/visualize (inference TP)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host training: jax.distributed coordinator "
+                        "address. Run the SAME command on every host with "
+                        "--num-processes/--process-id; the mesh then spans "
+                        "all hosts' devices and each host reads every Nth "
+                        "batch (validate/visualize collection stays "
+                        "single-host — see parallel/multihost.py). On TPU "
+                        "pods all three flags autodetect if you pass "
+                        "--num-processes alone")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard the optimizer moments over the mesh's "
                         "'data' axis instead of replicating them")
@@ -97,6 +108,16 @@ def _parse_mesh(spec: str):
 
 def build(args, need_loaders=True):
     input_frames, output_frames, frame_interval, thresholds = task_shape(args)
+    proc_shard = None
+    if getattr(args, "coordinator", None) or getattr(args, "num_processes", None):
+        from adnm_tpu.parallel import init_multihost
+
+        pi, pc = init_multihost(
+            args.coordinator, args.num_processes, getattr(args, "process_id", None)
+        )
+        print(f"multihost: process {pi}/{pc}, {jax.device_count()} global devices")
+        if pc > 1:
+            proc_shard = (pi, pc)
     mesh = None
     if getattr(args, "mesh", None):
         from adnm_tpu.parallel import make_mesh
@@ -149,8 +170,15 @@ def build(args, need_loaders=True):
             tr, va, te = make_laps_datasets(data_path, args.img_size, synthetic_len=args.synthetic_len)
         else:
             tr, va, te = make_datasets(data_path, args.img_size, synthetic_len=args.synthetic_len)
+        # Multi-host: only the TRAIN stream is process-sharded — each
+        # host takes its batch_size rows of every GLOBAL batch
+        # (row_shard guarantees an identical step count on every host;
+        # one short host deadlocks the others' collectives). Val/test
+        # stay unsharded so every host computes the same full-set loss
+        # (best-checkpoint gating must agree across hosts).
         loaders = (
-            BatchLoader(tr, args.batch_size, shuffle=True, seed=args.seed),
+            BatchLoader(tr, args.batch_size, shuffle=True, seed=args.seed,
+                        row_shard=proc_shard),
             BatchLoader(va, args.batch_size, drop_last=False),
             BatchLoader(te, args.batch_size, drop_last=False),
         )

@@ -30,6 +30,15 @@ def main(argv=None):
                         "utils.profiling.profile_trace)")
     args = p.parse_args(argv)
 
+    try:
+        _main(args)
+    finally:
+        from adnm_tpu.parallel.multihost import finish_multihost
+
+        finish_multihost()
+
+
+def _main(args):
     trainer, (train_loader, val_loader, test_loader), (ti, to, _, thresholds) = build(args)
     ckpt_path = best_ckpt_dir(args.root, args.dataset, args.model)
     if args.resume and os.path.exists(ckpt_path):

@@ -26,11 +26,26 @@ class BatchLoader:
         seed: int = 0,
         prefetch: int = 2,
         shard: tuple[int, int] | None = None,
+        row_shard: tuple[int, int] | None = None,
     ):
-        """``shard=(process_index, process_count)`` slices the batch
-        stream per host for multi-host training (each host reads every
-        process_count-th batch) — the per-host data sharding hook from
-        SURVEY section 5 ('Distributed communication backend')."""
+        """Per-host data sharding hooks for multi-host training (SURVEY
+        section 5, 'Distributed communication backend'):
+
+        ``row_shard=(process_index, process_count)`` — each host yields
+        its ``batch_size`` rows of every GLOBAL batch (global batch =
+        batch_size x process_count; the tail smaller than a global batch
+        is dropped). Every host sees the SAME number of batches by
+        construction — REQUIRED for multi-host training, where each
+        batch is one collective step and a host with fewer steps
+        deadlocks the others (observed live; see parallel/multihost.py).
+
+        ``shard=(process_index, process_count)`` — each host reads every
+        process_count-th whole batch. Hosts may get DIFFERENT batch
+        counts (n_batches % process_count != 0), so this is only safe
+        for independent per-host work (e.g. sharded offline eval), NOT
+        for lockstep multi-host training.
+        """
+        assert not (shard and row_shard), "shard and row_shard are exclusive"
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -38,10 +53,13 @@ class BatchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.shard = shard
+        self.row_shard = row_shard
         self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.row_shard is not None:
+            return n // (self.batch_size * self.row_shard[1])
         nb = n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
         if self.shard is not None:
             idx, cnt = self.shard
@@ -54,6 +72,16 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.row_shard is not None:
+            # this host's rows of each global batch (same seed on every
+            # host -> identical `order` -> disjoint per-host rows and an
+            # IDENTICAL batch count everywhere)
+            pi, pc = self.row_shard
+            gb = self.batch_size * pc
+            for i in range(n // gb):
+                g = order[i * gb : (i + 1) * gb]
+                yield g[pi * self.batch_size : (pi + 1) * self.batch_size]
+            return
         nb = n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
         for i in range(nb):
             if self.shard is not None and i % self.shard[1] != self.shard[0]:

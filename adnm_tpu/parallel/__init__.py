@@ -5,3 +5,9 @@ from adnm_tpu.parallel.mesh import (
     provision_cpu_devices,
     replicated,
 )
+from adnm_tpu.parallel.multihost import (
+    finish_multihost,
+    host_barrier,
+    init_multihost,
+    is_multiprocess_mesh,
+)

@@ -120,6 +120,9 @@ class Trainer:
         )
 
         self._state_shardings = None
+        from adnm_tpu.parallel.multihost import is_multiprocess_mesh
+
+        self._multiprocess = is_multiprocess_mesh(mesh)
         if mesh is not None:
             self.batch_sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("data")
@@ -217,6 +220,27 @@ class Trainer:
 
     def _put(self, batch: np.ndarray) -> jax.Array:
         if self.batch_sharding is not None:
+            if self._multiprocess:
+                # Multi-host: this host's batch is its rows of ONE global
+                # batch (global B = local B x process_count); XLA emits
+                # the cross-host grad all-reduce from the same 'data'
+                # sharding (see parallel/multihost.py).
+                n_data = self.mesh.shape.get("data", 1)
+                if (batch.shape[0] * jax.process_count()) % n_data == 0:
+                    return jax.make_array_from_process_local_data(
+                        self.batch_sharding, np.asarray(batch)
+                    )
+                # Indivisible tail: place replicated. Only the UNsharded
+                # val/test loaders produce tails (train loaders are
+                # drop_last, cli/common.py), and those streams are
+                # identical on every host by construction — which is
+                # exactly what a replicated global assembly requires.
+                rep = jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()
+                )
+                return jax.make_array_from_process_local_data(
+                    rep, np.asarray(batch)
+                )
             if batch.shape[0] % self.mesh.shape.get("data", 1) == 0:
                 return jax.device_put(batch, self.batch_sharding)
             # remainder batch (a drop_last=False val/test tail smaller

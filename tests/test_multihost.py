@@ -1,0 +1,115 @@
+"""Multi-host (multi-process) training test: two REAL processes, each
+with 4 virtual CPU devices, jax.distributed + gloo collectives, one DP
+train step over the global 8-device mesh — verified bit-level against
+the single-process 8-device run on the identical global batch.
+
+This is the cross-host capability beyond the reference's single-process
+DataParallel (train.py:99-102); see adnm_tpu/parallel/multihost.py.
+(Deliberately runs two compile-heavy processes concurrently on this
+1-core host — the graphs are tiny and share the persistent cache.)
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the virtual 8-device mesh"
+)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_WORKER = os.path.join(_HERE, "multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_workers(num_processes: int, local_devices: int, timeout: int = 900):
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # drop the axon sitecustomize pin
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", _WORKER, coord, str(num_processes), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(num_processes)
+    ]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    results = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed (rc={p.returncode}):\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    return results
+
+
+def test_row_shard_equal_step_counts_and_disjoint_rows():
+    """row_shard must give every host the SAME batch count (a short host
+    deadlocks the others' collectives — found live driving the 2-process
+    CLI) and disjoint rows that tile each global batch."""
+    from adnm_tpu.data.loader import BatchLoader
+
+    data = [np.full((2, 3, 3), i, np.float32) for i in range(22)]
+    loaders = [
+        BatchLoader(data, 4, shuffle=True, seed=5, row_shard=(p, 2))
+        for p in range(2)
+    ]
+    per_host = [list(ld) for ld in loaders]
+    # 22 samples / global batch 8 -> 2 batches on EVERY host (tail dropped)
+    assert [len(b) for b in per_host] == [2, 2]
+    assert len(loaders[0]) == len(loaders[1]) == 2
+    for step in range(2):
+        rows0 = set(per_host[0][step][:, 0, 0, 0, 0].astype(int))
+        rows1 = set(per_host[1][step][:, 0, 0, 0, 0].astype(int))
+        assert len(rows0) == len(rows1) == 4
+        assert not rows0 & rows1, "hosts must draw disjoint rows"
+
+
+def test_two_process_dp_matches_single_process():
+    results = _run_workers(num_processes=2, local_devices=4)
+
+    # every host must see the same replicated loss/grad-norm
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+    assert results[0]["avg_grad_norm"] == pytest.approx(
+        results[1]["avg_grad_norm"], rel=1e-6
+    )
+
+    # single-process reference on the SAME global batch (worker i
+    # contributes rows seeded 100+i, in process order)
+    from adnm_tpu.models.adnm_unet import ADNMUNet
+    from adnm_tpu.parallel import make_mesh
+    from adnm_tpu.train import Trainer, get_preset
+
+    CFG = dict(
+        channels=5, out_channels=2, kernel=(3, 3, 3), wt_levels=(1, 1, 1),
+        embed_dim=(8, 8, 16, 16, 16, 16), refine_dim=(8, 8, 8, 8),
+    )
+    model = ADNMUNet(**CFG)
+    preset = get_preset("ADNMUnet", 5, 2, 6, "Shanghai")
+    trainer = Trainer(model, preset, 5, 2, img_size=32, mesh=make_mesh(8), seed=0)
+    global_batch = np.concatenate([
+        np.random.default_rng(100 + i).uniform(0, 1, (4, 7, 1, 32, 32)).astype(np.float32)
+        for i in range(2)
+    ])
+    ref = trainer.train_epoch([global_batch], lr=1e-3, clip_norm=0.025)
+
+    assert results[0]["loss"] == pytest.approx(ref["loss"], rel=1e-5), (
+        results[0], ref["loss"]
+    )
+    assert results[0]["avg_grad_norm"] == pytest.approx(
+        ref["avg_grad_norm"], rel=1e-4
+    )
