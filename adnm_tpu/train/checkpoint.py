@@ -38,14 +38,38 @@ def _to_tree(state: Any) -> dict:
 def save_state(path: str, state: Any) -> None:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(_to_tree(state)), force=True)
+    tree = _to_tree(state)
+    if any(
+        isinstance(x, jax.Array) and not x.is_fully_addressable
+        for x in jax.tree.leaves(tree)
+    ):
+        # cross-process shards (multi-host ZeRO-1): orbax coordinates the
+        # distributed save natively from the global jax.Arrays
+        ckptr.save(path, tree, force=True)
+    else:
+        ckptr.save(path, jax.device_get(tree), force=True)
     ckptr.wait_until_finished()
+
+
+def _host_template(tree: Any):
+    """Host copy of ``tree`` for use as a restore target. Leaves that are
+    not fully addressable (cross-process ZeRO-1 moment shards) can't be
+    device_get — restore onto a shape/dtype zeros template instead (the
+    checkpoint overwrites it; the caller re-places shards afterwards)."""
+    import numpy as np
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.zeros(x.shape, x.dtype)
+        return jax.device_get(x)
+
+    return jax.tree.map(leaf, tree)
 
 
 def restore_state(path: str, target: Any) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    tgt_tree = jax.device_get(_to_tree(target))
+    tgt_tree = _host_template(_to_tree(target))
     try:
         meta = ckptr.metadata(path)
         avail = set(meta.item_metadata.keys() if hasattr(meta, "item_metadata") else meta.keys())

@@ -123,6 +123,7 @@ class Trainer:
         from adnm_tpu.parallel.multihost import is_multiprocess_mesh
 
         self._multiprocess = is_multiprocess_mesh(mesh)
+        self._mh_sync = 0  # host-barrier counter (multi-host first-step sync)
         if mesh is not None:
             self.batch_sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("data")
@@ -149,7 +150,23 @@ class Trainer:
                     self.state.opt_state,
                 )
                 shardings = shardings.replace(opt_state=opt_sh)
-            self.state = jax.device_put(self.state, shardings)
+            if self._multiprocess:
+                # Multi-host: device_put would broadcast replicated leaves
+                # (a gloo collective with a 30s rendezvous window — fails
+                # under cross-host compile skew) and rejects cross-process
+                # SHARDED targets (ZeRO-1 moments) outright. Instead each
+                # process materializes its own addressable shards from the
+                # host value — no communication; init is deterministic and
+                # identical on every host by construction (same seed).
+                def _place(x, s):
+                    x = np.asarray(jax.device_get(x))
+                    return jax.make_array_from_callback(
+                        x.shape, s, lambda idx, x=x: x[idx]
+                    )
+
+                self.state = jax.tree.map(_place, self.state, shardings)
+            else:
+                self.state = jax.device_put(self.state, shardings)
             self._state_shardings = shardings
         else:
             self.batch_sharding = None
@@ -272,8 +289,27 @@ class Trainer:
         gnorms = []
         lr_j = jnp.float32(lr)
         clip_j = jnp.float32(clip_norm)
+        first = True
         with self._mesh_ctx():
             for batch in device_prefetch(loader, self._put):
+                if first and self._multiprocess:
+                    # Cross-host rendezvous windows (gloo: 30s) are far
+                    # shorter than compile/startup skew between hosts, so
+                    # compile the step BEFORE the first collective executes
+                    # and meet at a long-timeout host barrier (coordination
+                    # service). The jit call below then re-traces cheaply
+                    # and loads the just-persisted XLA executable.
+                    from adnm_tpu.parallel.multihost import host_barrier
+
+                    try:
+                        self._train_step.lower(
+                            self.state, batch, lr_j, clip_j
+                        ).compile()
+                    except Exception:
+                        pass  # precompile is best-effort; the barrier still helps
+                    self._mh_sync += 1
+                    host_barrier(f"adnm:train_compiled:{self._mh_sync}")
+                first = False
                 # keep loss/gnorm as device arrays — fetching per step would
                 # force a sync and serialize the async dispatch pipeline
                 self.state, loss, gnorm = self._train_step(self.state, batch, lr_j, clip_j)
@@ -306,8 +342,21 @@ class Trainer:
 
         losses = []
         gts, preds = [], []
+        first = True
         with self._mesh_ctx():
             for batch in device_prefetch(loader, self._put):
+                if first and self._multiprocess:
+                    # same first-collective sync as train_epoch (compile
+                    # skew >> the 30s gloo rendezvous window)
+                    from adnm_tpu.parallel.multihost import host_barrier
+
+                    try:
+                        self._eval_step.lower(self.state, batch).compile()
+                    except Exception:
+                        pass
+                    self._mh_sync += 1
+                    host_barrier(f"adnm:eval_compiled:{self._mh_sync}")
+                first = False
                 loss, out = self._eval_step(self.state, batch)
                 # defer the loss fetch — float(loss) per batch forces a sync
                 # and serializes dispatch (the train path already defers)
@@ -416,7 +465,18 @@ class Trainer:
     def load(self, ckpt_path: str):
         self.state = ckpt.restore_state(ckpt_path, self.state)
         if self._state_shardings is not None:
-            self.state = jax.device_put(self.state, self._state_shardings)
+            if self._multiprocess:
+                # same no-collective placement as __init__ (every host
+                # restores the identical checkpoint from the shared root)
+                def _place(x, s):
+                    x = np.asarray(jax.device_get(x))
+                    return jax.make_array_from_callback(
+                        x.shape, s, lambda idx, x=x: x[idx]
+                    )
+
+                self.state = jax.tree.map(_place, self.state, self._state_shardings)
+            else:
+                self.state = jax.device_put(self.state, self._state_shardings)
 
 
 def optax_global_norm(tree) -> jax.Array:

@@ -16,6 +16,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 coordinator, num_processes, process_id = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+mode = sys.argv[4] if len(sys.argv) > 4 else "dp"  # dp | dpseq_zero1
 
 from adnm_tpu.parallel import init_multihost  # noqa: E402
 
@@ -44,14 +45,27 @@ CFG = dict(
 )
 
 n_global = jax.device_count()
-mesh = make_mesh(n_global)  # ('data',) over ALL processes' devices
+if mode == "dpseq_zero1":
+    # ('data','seq') mesh spanning both processes + ZeRO-1 sharded
+    # optimizer moments: the full beyond-DP training combination,
+    # multi-host. 'data' rows stay process-local (mesh device order),
+    # the 'seq' halo/psum collectives cross hosts, and the raveled
+    # moment shards span all processes' devices.
+    mesh = make_mesh(n_global, axes=("data", "seq"), shape=(n_global // 2, 2))
+    rows = mesh.shape["data"] // jax.process_count()
+else:
+    mesh = make_mesh(n_global)  # ('data',) over ALL processes' devices
+    rows = jax.local_device_count()
 model = ADNMUNet(**CFG)
 preset = get_preset("ADNMUnet", 5, 2, 6, "Shanghai")
-trainer = Trainer(model, preset, 5, 2, img_size=32, mesh=mesh, seed=0)
+trainer = Trainer(
+    model, preset, 5, 2, img_size=32, mesh=mesh, seed=0,
+    shard_opt_state=(mode == "dpseq_zero1"),
+)
 
 # this process's rows of the global batch (seeded by process id)
 local = np.random.default_rng(100 + process_id).uniform(
-    0, 1, (jax.local_device_count(), 7, 1, 32, 32)
+    0, 1, (rows, 7, 1, 32, 32)
 ).astype(np.float32)
 stats = trainer.train_epoch([local], lr=1e-3, clip_norm=0.025)
 print(json.dumps({
@@ -59,3 +73,9 @@ print(json.dumps({
     "loss": stats["loss"],
     "avg_grad_norm": stats["avg_grad_norm"],
 }), flush=True)
+
+# synchronized teardown: compile-time skew between workers (minutes on
+# this 1-core host) otherwise trips the runtime's shutdown barrier
+from adnm_tpu.parallel import finish_multihost  # noqa: E402
+
+finish_multihost()

@@ -35,7 +35,8 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(num_processes: int, local_devices: int, timeout: int = 900):
+def _run_workers(num_processes: int, local_devices: int, timeout: int = 900,
+                 mode: str = "dp"):
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # drop the axon sitecustomize pin
@@ -43,7 +44,7 @@ def _run_workers(num_processes: int, local_devices: int, timeout: int = 900):
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
     procs = [
         subprocess.Popen(
-            [sys.executable, "-u", _WORKER, coord, str(num_processes), str(i)],
+            [sys.executable, "-u", _WORKER, coord, str(num_processes), str(i), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for i in range(num_processes)
@@ -107,6 +108,41 @@ def test_two_process_dp_matches_single_process():
     ])
     ref = trainer.train_epoch([global_batch], lr=1e-3, clip_norm=0.025)
 
+    assert results[0]["loss"] == pytest.approx(ref["loss"], rel=1e-5), (
+        results[0], ref["loss"]
+    )
+    assert results[0]["avg_grad_norm"] == pytest.approx(
+        ref["avg_grad_norm"], rel=1e-4
+    )
+
+
+def test_two_process_dpseq_zero1_matches_single_process():
+    """The full beyond-DP training combination — ('data','seq') mesh +
+    ZeRO-1 sharded optimizer moments — across two real processes: 'seq'
+    collectives cross hosts and the moment shards span all processes'
+    devices. Must match the single-process run on the same mesh/batch."""
+    results = _run_workers(num_processes=2, local_devices=4, mode="dpseq_zero1")
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    from adnm_tpu.models.adnm_unet import ADNMUNet
+    from adnm_tpu.parallel import make_mesh
+    from adnm_tpu.train import Trainer, get_preset
+
+    CFG = dict(
+        channels=5, out_channels=2, kernel=(3, 3, 3), wt_levels=(1, 1, 1),
+        embed_dim=(8, 8, 16, 16, 16, 16), refine_dim=(8, 8, 8, 8),
+    )
+    model = ADNMUNet(**CFG)
+    preset = get_preset("ADNMUnet", 5, 2, 6, "Shanghai")
+    trainer = Trainer(
+        model, preset, 5, 2, img_size=32, seed=0, shard_opt_state=True,
+        mesh=make_mesh(8, axes=("data", "seq"), shape=(4, 2)),
+    )
+    global_batch = np.concatenate([
+        np.random.default_rng(100 + i).uniform(0, 1, (2, 7, 1, 32, 32)).astype(np.float32)
+        for i in range(2)
+    ])
+    ref = trainer.train_epoch([global_batch], lr=1e-3, clip_norm=0.025)
     assert results[0]["loss"] == pytest.approx(ref["loss"], rel=1e-5), (
         results[0], ref["loss"]
     )
