@@ -62,6 +62,12 @@ def init_multihost(
         num_processes=num_processes,
         process_id=process_id,
     )
+    # LIFO atexit: this runs BEFORE jax's own distributed teardown, so
+    # every consumer (CLIs, test workers) gets the synchronized shutdown
+    # of finish_multihost() even without explicit wiring.
+    import atexit
+
+    atexit.register(finish_multihost)
     return jax.process_index(), jax.process_count()
 
 

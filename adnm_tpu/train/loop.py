@@ -340,6 +340,13 @@ class Trainer:
     def eval_epoch(self, loader, collect: bool = False):
         from adnm_tpu.data.loader import device_prefetch
 
+        if collect and self._multiprocess:
+            raise NotImplementedError(
+                "prediction collection fetches full output arrays, which are "
+                "not addressable across hosts — run validate/visualize as a "
+                "single host against the shared checkpoint "
+                "(see parallel/multihost.py)"
+            )
         losses = []
         gts, preds = [], []
         first = True
