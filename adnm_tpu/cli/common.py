@@ -38,11 +38,11 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="multi-host training: jax.distributed coordinator "
                         "address. Run the SAME command on every host with "
                         "--num-processes/--process-id; the mesh then spans "
-                        "all hosts' devices and each host reads every Nth "
-                        "batch (validate/visualize collection stays "
-                        "single-host — see parallel/multihost.py). On TPU "
-                        "pods all three flags autodetect if you pass "
-                        "--num-processes alone")
+                        "all hosts' devices and each host streams its "
+                        "batch-size rows of every global batch "
+                        "(validate/visualize collection stays single-host — "
+                        "see parallel/multihost.py). On TPU pods all three "
+                        "flags autodetect if you pass --num-processes alone")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--zero1", action="store_true",
@@ -127,6 +127,17 @@ def build(args, need_loaders=True):
     elif args.data_parallel:
         devs = jax.devices()
         mesh = jax.sharding.Mesh(devs, ("data",))
+    if proc_shard is not None:
+        from adnm_tpu.parallel.multihost import is_multiprocess_mesh
+
+        if not is_multiprocess_mesh(mesh):
+            raise SystemExit(
+                "multi-host run without a mesh spanning all hosts' devices: "
+                "add --data-parallel (or a --mesh covering "
+                f"{jax.device_count()} global devices) — otherwise each host "
+                "would silently train an independent model and race writes "
+                "to the same checkpoint path"
+            )
     model_kwargs = {}
     if getattr(args, "no_refiner_remat", False):
         if args.model != "ADNMUnet":

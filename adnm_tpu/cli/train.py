@@ -60,6 +60,19 @@ def _main(args):
 
     if args.no_final_eval:
         return
+    if trainer._multiprocess:
+        # prediction collection is a single-host workflow (outputs are
+        # not addressable across hosts); report the loss and point at
+        # the single-host validate path instead of crashing post-training
+        print("-----------------test best-----------------")
+        if os.path.exists(ckpt_path):
+            trainer.load(ckpt_path)
+        test_loss, _, _ = trainer.eval_epoch(test_loader)
+        print(f"best-checkpoint test loss: {test_loss}")
+        print("multi-host run: metrics need prediction collection — run "
+              "`python -m adnm_tpu.cli.validate` as a single host against "
+              f"{ckpt_path}")
+        return
     print("-----------------test best-----------------")
     if os.path.exists(ckpt_path):
         trainer.load(ckpt_path)

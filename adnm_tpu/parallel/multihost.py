@@ -16,11 +16,15 @@ Wiring (matches tests/test_multihost.py and cli/common.py):
      on CPU (tests / this container) pass coordinator/count/id
      explicitly and collectives go through gloo.
   2. Build the mesh from the now-global device set (``make_mesh``).
-  3. Per-host input pipeline: ``BatchLoader(..., shard=(process_index,
-     process_count))`` — each host reads every Nth batch, and the
-     Trainer assembles each host's batch as that host's rows of one
-     GLOBAL batch (``jax.make_array_from_process_local_data``), so the
-     effective global batch is ``local_batch * process_count``.
+  3. Per-host input pipeline: ``BatchLoader(..., row_shard=
+     (process_index, process_count))`` — each host yields its
+     ``batch_size`` rows of every GLOBAL batch (identical step count on
+     every host BY CONSTRUCTION; a host with fewer steps deadlocks the
+     others' collectives), and the Trainer assembles those rows into one
+     global array (``jax.make_array_from_process_local_data``), so the
+     effective global batch is ``local_batch * process_count``. Do NOT
+     use the loader's ``shard=`` mode (whole-batch round-robin) for
+     training — per-host batch counts can differ.
 
 Training and loss/grad-norm telemetry are multi-host safe (scalars are
 fully replicated, every host reads its local copy). Prediction
@@ -71,11 +75,13 @@ def init_multihost(
     return jax.process_index(), jax.process_count()
 
 
-def host_barrier(name: str, timeout_s: float = 600.0) -> None:
+def host_barrier(name: str, timeout_s: float = 3600.0) -> None:
     """Block until every process reaches this barrier (coordination
     service — host-level, long-timeout; NOT a device collective, so it
     is safe to call while processes are minutes apart, e.g. around
-    asymmetric compiles). No-op when jax.distributed is not initialized."""
+    asymmetric compiles — the default outlasts a full cold compile; a
+    dead peer still fails fast via the service's error propagation).
+    No-op when jax.distributed is not initialized."""
     from jax._src import distributed
 
     client = getattr(distributed.global_state, "client", None)

@@ -52,24 +52,32 @@ def save_state(path: str, state: Any) -> None:
 
 
 def _host_template(tree: Any):
-    """Host copy of ``tree`` for use as a restore target. Leaves that are
-    not fully addressable (cross-process ZeRO-1 moment shards) can't be
-    device_get — restore onto a shape/dtype zeros template instead (the
-    checkpoint overwrites it; the caller re-places shards afterwards)."""
+    """Host copy of ``tree`` for use as a restore target. Multi-host
+    leaves can't be device_get when not fully addressable: replicated
+    ones are reconstructed from any local shard (full logical value);
+    truly sharded ones (cross-process ZeRO-1 moments) become shape/dtype
+    zeros templates. Returns (template, zeroed_top_keys) so the caller
+    can refuse to silently keep zeros for keys the checkpoint lacks."""
     import numpy as np
 
-    def leaf(x):
+    zeroed: set = set()
+
+    def leaf(key, x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.sharding.is_fully_replicated:
+                return np.asarray(x.addressable_shards[0].data)
+            zeroed.add(key)
             return np.zeros(x.shape, x.dtype)
         return jax.device_get(x)
 
-    return jax.tree.map(leaf, tree)
+    out = {k: jax.tree.map(lambda x, k=k: leaf(k, x), v) for k, v in tree.items()}
+    return out, zeroed
 
 
 def restore_state(path: str, target: Any) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    tgt_tree = _host_template(_to_tree(target))
+    tgt_tree, zeroed_keys = _host_template(_to_tree(target))
     try:
         meta = ckptr.metadata(path)
         avail = set(meta.item_metadata.keys() if hasattr(meta, "item_metadata") else meta.keys())
@@ -86,6 +94,15 @@ def restore_state(path: str, target: Any) -> Any:
         logging.warning("full train-state restore failed (%s); restoring params only", e)
         keep = {k: v for k, v in sub_tgt.items() if k in ("params", "batch_stats")}
         restored = ckptr.restore(path, target=keep)
+    missing_zeroed = zeroed_keys - set(restored)
+    if missing_zeroed:
+        # these target leaves were zeros TEMPLATES (cross-process
+        # shards); keeping them would silently zero real state
+        raise ValueError(
+            f"checkpoint {path} lacks {sorted(missing_zeroed)}, whose "
+            f"multi-host-sharded target values cannot be kept as-is — "
+            f"re-create the Trainer instead of resuming"
+        )
     merged = dict(tgt_tree)
     merged.update(restored)
     if hasattr(target, "params"):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -123,7 +124,7 @@ class Trainer:
         from adnm_tpu.parallel.multihost import is_multiprocess_mesh
 
         self._multiprocess = is_multiprocess_mesh(mesh)
-        self._mh_sync = 0  # host-barrier counter (multi-host first-step sync)
+        self._mh_synced: set = set()  # multi-host first-collective sync, per step kind
         if mesh is not None:
             self.batch_sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("data")
@@ -235,7 +236,7 @@ class Trainer:
 
     # ---- host-side loop ----------------------------------------------
 
-    def _put(self, batch: np.ndarray) -> jax.Array:
+    def _put(self, batch: np.ndarray, identical_across_hosts: bool = False) -> jax.Array:
         if self.batch_sharding is not None:
             if self._multiprocess:
                 # Multi-host: this host's batch is its rows of ONE global
@@ -247,11 +248,22 @@ class Trainer:
                     return jax.make_array_from_process_local_data(
                         self.batch_sharding, np.asarray(batch)
                     )
-                # Indivisible tail: place replicated. Only the UNsharded
-                # val/test loaders produce tails (train loaders are
-                # drop_last, cli/common.py), and those streams are
-                # identical on every host by construction — which is
-                # exactly what a replicated global assembly requires.
+                if not identical_across_hosts:
+                    # A replicated fallback here would be SPLIT-BRAIN:
+                    # XLA treats replicated values as identical across
+                    # hosts, so per-host row-sharded data placed
+                    # "replicated" trains disjoint models with NO grad
+                    # all-reduce and corrupts distributed checkpoints.
+                    raise ValueError(
+                        f"multi-host train batch: local {batch.shape[0]} x "
+                        f"{jax.process_count()} hosts = "
+                        f"{batch.shape[0] * jax.process_count()} rows must "
+                        f"divide the 'data' axis ({n_data}); adjust "
+                        f"--batch-size"
+                    )
+                # Indivisible tail of a stream the caller asserts is
+                # identical on every host (the UNsharded val/test loaders):
+                # replicated global assembly is exactly right.
                 rep = jax.sharding.NamedSharding(
                     self.mesh, jax.sharding.PartitionSpec()
                 )
@@ -289,16 +301,17 @@ class Trainer:
         gnorms = []
         lr_j = jnp.float32(lr)
         clip_j = jnp.float32(clip_norm)
-        first = True
         with self._mesh_ctx():
             for batch in device_prefetch(loader, self._put):
-                if first and self._multiprocess:
+                if self._multiprocess and "train" not in self._mh_synced:
                     # Cross-host rendezvous windows (gloo: 30s) are far
                     # shorter than compile/startup skew between hosts, so
                     # compile the step BEFORE the first collective executes
                     # and meet at a long-timeout host barrier (coordination
                     # service). The jit call below then re-traces cheaply
-                    # and loads the just-persisted XLA executable.
+                    # and loads the just-persisted XLA executable. Done once
+                    # per step kind — afterwards the hosts run in lockstep
+                    # through the shared collectives.
                     from adnm_tpu.parallel.multihost import host_barrier
 
                     try:
@@ -307,9 +320,8 @@ class Trainer:
                         ).compile()
                     except Exception:
                         pass  # precompile is best-effort; the barrier still helps
-                    self._mh_sync += 1
-                    host_barrier(f"adnm:train_compiled:{self._mh_sync}")
-                first = False
+                    self._mh_synced.add("train")
+                    host_barrier("adnm:train_compiled")
                 # keep loss/gnorm as device arrays — fetching per step would
                 # force a sync and serialize the async dispatch pipeline
                 self.state, loss, gnorm = self._train_step(self.state, batch, lr_j, clip_j)
@@ -349,21 +361,23 @@ class Trainer:
             )
         losses = []
         gts, preds = [], []
-        first = True
+        # val/test streams are deliberately unsharded under multi-host
+        # (cli/common.py) — identical on every host, so indivisible tails
+        # may be assembled replicated
+        put = functools.partial(self._put, identical_across_hosts=True)
         with self._mesh_ctx():
-            for batch in device_prefetch(loader, self._put):
-                if first and self._multiprocess:
+            for batch in device_prefetch(loader, put):
+                if self._multiprocess and "eval" not in self._mh_synced:
                     # same first-collective sync as train_epoch (compile
-                    # skew >> the 30s gloo rendezvous window)
+                    # skew >> the 30s gloo rendezvous window), once
                     from adnm_tpu.parallel.multihost import host_barrier
 
                     try:
                         self._eval_step.lower(self.state, batch).compile()
                     except Exception:
                         pass
-                    self._mh_sync += 1
-                    host_barrier(f"adnm:eval_compiled:{self._mh_sync}")
-                first = False
+                    self._mh_synced.add("eval")
+                    host_barrier("adnm:eval_compiled")
                 loss, out = self._eval_step(self.state, batch)
                 # defer the loss fetch — float(loss) per batch forces a sync
                 # and serializes dispatch (the train path already defers)

@@ -49,12 +49,20 @@ def _run_workers(num_processes: int, local_devices: int, timeout: int = 900,
         )
         for i in range(num_processes)
     ]
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    finally:
+        # never leak compile-spinning workers onto the 1-core host (a
+        # wedged pair would thrash the rest of the suite)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     results = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed (rc={p.returncode}):\n{out[-3000:]}"
-        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
-        results.append(json.loads(line))
+        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+        assert lines, f"worker {i} printed no JSON result:\n{out[-3000:]}"
+        results.append(json.loads(lines[-1]))
     return results
 
 
