@@ -88,6 +88,31 @@ def test_row_shard_equal_step_counts_and_disjoint_rows():
         assert not rows0 & rows1, "hosts must draw disjoint rows"
 
 
+def test_put_rejects_indivisible_train_batch(monkeypatch):
+    """The split-brain guard: under a multi-process mesh, a train batch
+    whose global row count doesn't divide the 'data' axis must raise
+    (a replicated fallback would silently drop the grad all-reduce),
+    while eval streams flagged identical_across_hosts may fall back."""
+    from adnm_tpu.models import create_model
+    from adnm_tpu.parallel import make_mesh
+    from adnm_tpu.train import Trainer, get_preset
+
+    model = create_model("SmaATUnet", 5, 2, 6)
+    preset = get_preset("SmaATUnet", 5, 2, 6, "Shanghai")
+    trainer = Trainer(model, preset, 5, 2, img_size=32, mesh=make_mesh(8))
+    # simulate the 2-hosts-x-8-chips shape mismatch: data axis 8,
+    # local batch 3 on "2 processes" -> 6 % 8 != 0
+    monkeypatch.setattr(trainer, "_multiprocess", True)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    batch = np.zeros((3, 7, 1, 32, 32), np.float32)
+    with pytest.raises(ValueError, match="divide the 'data' axis"):
+        trainer._put(batch)
+    # identical-across-hosts eval tails may assemble replicated; with a
+    # single REAL process the global assembly path is exercised as-is
+    out = trainer._put(batch, identical_across_hosts=True)
+    assert out.shape == batch.shape
+
+
 def test_two_process_dp_matches_single_process():
     results = _run_workers(num_processes=2, local_devices=4)
 
