@@ -52,10 +52,11 @@ V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak, FLOP/s (published spec)
 # batch-12 OOM ceiling caused by 8x lane padding of the token-minor
 # (B, 65536, 16) backward temporaries. Measured on v5e: the chip stays
 # latency-bound through batch 12 (same ~3.2ms step as batch 4/8 ->
-# ~128k frames/s/chip), batch 14 is slightly superlinear (3.7ms), and
-# batch 16 OOMs 16G; 16 stays in the list as the tripwire for
-# larger-HBM parts.
-CONFIGS = ((4, False), (8, False), (12, False), (16, False))
+# ~128k frames/s/chip); batch 14 is slightly superlinear per step
+# (3.7ms) but MORE frames/s combined, so it is measured too and the
+# best combined run headlines; batch 16 OOMs 16G and stays in the list
+# as the tripwire for larger-HBM parts.
+CONFIGS = ((4, False), (8, False), (12, False), (14, False), (16, False))
 IMG = 256
 T_IN, T_OUT = 5, 20
 
