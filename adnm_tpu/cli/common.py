@@ -138,6 +138,16 @@ def build(args, need_loaders=True):
                 "would silently train an independent model and race writes "
                 "to the same checkpoint path"
             )
+        n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+        if (args.batch_size * proc_shard[1]) % n_data != 0:
+            # fail in seconds, not after minutes of model init/compile
+            # (Trainer._put enforces the same invariant at runtime)
+            raise SystemExit(
+                f"--batch-size {args.batch_size} x {proc_shard[1]} hosts = "
+                f"{args.batch_size * proc_shard[1]} global rows per step, "
+                f"which does not divide the mesh 'data' axis ({n_data}); "
+                f"pick a divisible per-host batch size"
+            )
     model_kwargs = {}
     if getattr(args, "no_refiner_remat", False):
         if args.model != "ADNMUnet":

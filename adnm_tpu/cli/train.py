@@ -60,24 +60,20 @@ def _main(args):
 
     if args.no_final_eval:
         return
-    if trainer._multiprocess:
-        # prediction collection is a single-host workflow (outputs are
-        # not addressable across hosts); report the loss and point at
-        # the single-host validate path instead of crashing post-training
-        print("-----------------test best-----------------")
-        if os.path.exists(ckpt_path):
-            trainer.load(ckpt_path)
-        test_loss, _, _ = trainer.eval_epoch(test_loader)
-        print(f"best-checkpoint test loss: {test_loss}")
+    print("-----------------test best-----------------")
+    if os.path.exists(ckpt_path):
+        trainer.load(ckpt_path)
+    # prediction collection is a single-host workflow (outputs are not
+    # addressable across hosts): multi-host runs report the loss and
+    # defer metrics to the single-host validate path
+    collect = not trainer._multiprocess
+    test_loss, preds, gts = trainer.eval_epoch(test_loader, collect=collect)
+    print(f"best-checkpoint test loss: {test_loss}")
+    if not collect:
         print("multi-host run: metrics need prediction collection — run "
               "`python -m adnm_tpu.cli.validate` as a single host against "
               f"{ckpt_path}")
         return
-    print("-----------------test best-----------------")
-    if os.path.exists(ckpt_path):
-        trainer.load(ckpt_path)
-    test_loss, preds, gts = trainer.eval_epoch(test_loader, collect=True)
-    print(f"best-checkpoint test loss: {test_loss}")
     if args.dataset == "LAPS":
         from adnm_tpu.data.laps import laps_evaluate
 

@@ -96,12 +96,17 @@ def restore_state(path: str, target: Any) -> Any:
         restored = ckptr.restore(path, target=keep)
     missing_zeroed = zeroed_keys - set(restored)
     if missing_zeroed:
-        # these target leaves were zeros TEMPLATES (cross-process
-        # shards); keeping them would silently zero real state
-        raise ValueError(
-            f"checkpoint {path} lacks {sorted(missing_zeroed)}, whose "
-            f"multi-host-sharded target values cannot be kept as-is — "
-            f"re-create the Trainer instead of resuming"
+        # These target leaves were zeros TEMPLATES (cross-process ZeRO-1
+        # moment shards). For the documented params-only fallback that is
+        # exactly a FRESH optimizer (optax moments init to zeros; the
+        # replicated count/hyperparam scalars were reconstructed from
+        # local shards) — same intent as the single-host fallback, so
+        # warn loudly rather than fail the resume.
+        import logging
+
+        logging.warning(
+            "checkpoint %s lacks %s; multi-host restore keeps FRESH "
+            "(zero) optimizer moments for those", path, sorted(missing_zeroed)
         )
     merged = dict(tgt_tree)
     merged.update(restored)

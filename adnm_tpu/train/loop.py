@@ -255,11 +255,11 @@ class Trainer:
                     # "replicated" trains disjoint models with NO grad
                     # all-reduce and corrupts distributed checkpoints.
                     raise ValueError(
-                        f"multi-host train batch: local {batch.shape[0]} x "
+                        f"multi-host batch: local {batch.shape[0]} x "
                         f"{jax.process_count()} hosts = "
                         f"{batch.shape[0] * jax.process_count()} rows must "
-                        f"divide the 'data' axis ({n_data}); adjust "
-                        f"--batch-size"
+                        f"divide the 'data' axis ({n_data}); use a "
+                        f"divisible per-host batch size"
                     )
                 # Indivisible tail of a stream the caller asserts is
                 # identical on every host (the UNsharded val/test loaders):

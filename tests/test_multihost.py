@@ -51,12 +51,21 @@ def _run_workers(num_processes: int, local_devices: int, timeout: int = 900,
     ]
     try:
         outs = [p.communicate(timeout=timeout)[0] for p in procs]
-    finally:
-        # never leak compile-spinning workers onto the 1-core host (a
-        # wedged pair would thrash the rest of the suite)
+    except subprocess.TimeoutExpired:
+        # kill + reap the wedged pair (never leak compile-spinning
+        # workers onto the 1-core host) and surface their output
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        tails = [p.communicate()[0][-2000:] for p in procs]
+        raise AssertionError(
+            "workers timed out; output tails:\n" + "\n---\n".join(tails)
+        )
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     results = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed (rc={p.returncode}):\n{out[-3000:]}"
