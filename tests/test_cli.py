@@ -34,6 +34,18 @@ class TestMeshSpec:
             _parse_mesh("seq=2,model=2")
 
 
+class TestMultihostFlags:
+    def test_parses(self):
+        args = _parse([
+            "--coordinator", "10.0.0.1:1234",
+            "--num-processes", "4", "--process-id", "2",
+        ])
+        assert args.coordinator == "10.0.0.1:1234"
+        assert (args.num_processes, args.process_id) == (4, 2)
+        default = _parse([])
+        assert default.coordinator is None and default.num_processes is None
+
+
 class TestRefinerRematFlag:
     def test_parses(self):
         args = _parse(["--model", "ADNMUnet", "--no-refiner-remat"])
