@@ -97,6 +97,21 @@ def test_row_shard_equal_step_counts_and_disjoint_rows():
         assert not rows0 & rows1, "hosts must draw disjoint rows"
 
 
+def test_batch_shard_round_robin_counts():
+    """The shard= (whole-batch round-robin) mode: correct per-host
+    lengths — including the UNEQUAL counts that make it unsafe for
+    lockstep multi-host training (documented in loader.py)."""
+    from adnm_tpu.data.loader import BatchLoader
+
+    data = [np.zeros((2, 3, 3), np.float32)] * 12  # 3 batches of 4
+    l0 = BatchLoader(data, 4, shard=(0, 2))
+    l1 = BatchLoader(data, 4, shard=(1, 2))
+    assert (len(l0), len(l1)) == (2, 1)  # unequal: batches 0,2 vs 1
+    assert len(list(l0)) == 2 and len(list(l1)) == 1
+    with pytest.raises(AssertionError):
+        BatchLoader(data, 4, shard=(0, 2), row_shard=(0, 2))
+
+
 def test_put_rejects_indivisible_train_batch(monkeypatch):
     """The split-brain guard: under a multi-process mesh, a train batch
     whose global row count doesn't divide the 'data' axis must raise
