@@ -163,6 +163,11 @@ def build(args, need_loaders=True):
         from adnm_tpu.models.adnm_unet import apply_reference_init
 
         param_transform = apply_reference_init
+    accum = getattr(args, "accum_steps", 1) or 1
+    if args.batch_size % accum:
+        raise SystemExit(
+            f"--accum-steps {accum} must divide --batch-size {args.batch_size}"
+        )
     trainer = Trainer(
         model, preset, input_frames, output_frames,
         img_size=args.img_size, mesh=mesh, seed=args.seed,
@@ -170,6 +175,8 @@ def build(args, need_loaders=True):
         shard_opt_state=getattr(args, "zero1", False),
         remat_forward=getattr(args, "remat", False),
         compute_dtype=jax.numpy.bfloat16 if getattr(args, "bf16", False) else jax.numpy.float32,
+        scan_steps=getattr(args, "scan_steps", 1) or 1,
+        accum_steps=accum,
     )
     if getattr(args, "pretrained_npz", None):
         if args.model != "TransUnet":

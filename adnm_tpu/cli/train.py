@@ -15,7 +15,7 @@ from adnm_tpu.metrics import SimplifiedEvaluator
 from adnm_tpu.train.checkpoint import best_ckpt_dir
 
 
-def main(argv=None):
+def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("adnm-train")
     add_common_args(p)
     p.add_argument("--epochs", type=int, default=None)
@@ -28,7 +28,25 @@ def main(argv=None):
                    help="capture an XLA profiler trace of the training run "
                         "into DIR (view with TensorBoard/Perfetto; "
                         "utils.profiling.profile_trace)")
-    args = p.parse_args(argv)
+    p.add_argument("--scan-steps", type=int, default=1, metavar="K",
+                   help="run K train steps per device dispatch (one jitted "
+                        "lax.scan over K stacked batches): same step math/"
+                        "order (matches to float rounding), but per-step "
+                        "host dispatch stops gating the device — throughput "
+                        "win when the host is slow relative to the step "
+                        "(single-host only)")
+    p.add_argument("--accum-steps", type=int, default=1, metavar="M",
+                   help="gradient accumulation: split each batch into M "
+                        "equal microbatches scanned inside the step, one "
+                        "optimizer update on the averaged grads — ~M-fold "
+                        "lower activation memory for the same effective "
+                        "batch (exact for the reference losses; BatchNorm "
+                        "stats become per-microbatch). batch-size %% M == 0")
+    return p
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
 
     try:
         _main(args)

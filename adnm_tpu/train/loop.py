@@ -65,6 +65,8 @@ class Trainer:
         param_transform: Optional[Callable] = None,
         shard_opt_state: bool = False,
         remat_forward: bool = False,
+        scan_steps: int = 1,
+        accum_steps: int = 1,
     ):
         """``remat_forward=True`` wraps the training forward in
         ``jax.checkpoint``: the backward recomputes the whole forward
@@ -87,7 +89,28 @@ class Trainer:
         all-gather of the parameter update. Cuts per-chip optimizer
         memory (2 x n_params x 4B for AdamW) by the DP degree — a TPU
         capability beyond the reference's replicate-everything
-        DataParallel (train.py:99-102)."""
+        DataParallel (train.py:99-102).
+
+        ``scan_steps=k`` (k>1) runs k train steps per device dispatch:
+        the host stacks k loader batches into one (k, B, ...) array and
+        a single jitted ``lax.scan`` applies k sequential steps on
+        device. Same step math and order as k separate dispatches —
+        values agree to float-rounding tolerance (XLA fuses the scan
+        body slightly differently; tested) — but the host's per-step
+        Python dispatch (~ms each) stops gating the device. Epoch-tail
+        batches smaller than a full group run through the per-step
+        path. Not supported under multi-host training.
+
+        ``accum_steps=m`` (m>1) is gradient accumulation: the batch is
+        split into m equal microbatches scanned sequentially inside the
+        step, gradients averaged before ONE optimizer update —
+        activation memory drops ~m-fold, enabling effective batch sizes
+        past the HBM ceiling. Exact (not approximate) for all four
+        reference losses, which are elementwise means: the average of
+        equal-microbatch losses/grads equals the full-batch value
+        (tested). For BatchNorm models the normalization statistics are
+        per-microbatch (the standard grad-accum caveat, same as torch).
+        Requires batch % accum_steps == 0."""
         self.model = model
         self.preset = preset
         self.input_frames = input_frames
@@ -96,6 +119,10 @@ class Trainer:
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.remat_forward = remat_forward
+        self.scan_steps = int(scan_steps)
+        self.accum_steps = int(accum_steps)
+        if self.scan_steps < 1 or self.accum_steps < 1:
+            raise ValueError("scan_steps and accum_steps must be >= 1")
         zero1 = (
             shard_opt_state
             and mesh is not None
@@ -125,6 +152,14 @@ class Trainer:
 
         self._multiprocess = is_multiprocess_mesh(mesh)
         self._mh_synced: set = set()  # multi-host first-collective sync, per step kind
+        if self.scan_steps > 1 and self._multiprocess:
+            raise NotImplementedError(
+                "scan_steps > 1 under multi-host training is not supported: "
+                "the global-batch assembly and first-collective sync are "
+                "per-batch (parallel/multihost.py); use scan_steps=1 — the "
+                "per-host dispatch overhead already overlaps the cross-host "
+                "collectives there"
+            )
         if mesh is not None:
             self.batch_sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("data")
@@ -185,6 +220,22 @@ class Trainer:
             self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
+        self._stack_sharding = None
+        self._train_scan = None
+        if self.scan_steps > 1:
+            if mesh is not None:
+                self._stack_sharding = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(None, "data")
+                )
+            if self._state_shardings is not None and zero1:
+                self._train_scan = jax.jit(
+                    self._train_scan_impl,
+                    donate_argnums=(0,),
+                    out_shardings=(self._state_shardings, None, None),
+                )
+            else:
+                self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0,))
+
     # ---- jitted impls -------------------------------------------------
 
     def _apply(self, params, batch_stats, imgs, train, rngs=None):
@@ -200,23 +251,65 @@ class Trainer:
             return self.model.apply(variables, imgs, train=False), batch_stats
         return self.model.apply(variables, imgs, train=train, **kwargs), batch_stats
 
-    def _train_step_impl(self, state: TrainState, batch, lr, clip_norm):
+    def _grads_impl(self, state: TrainState, batch):
+        """(loss, grads, new_batch_stats) for one batch — the
+        accumulation-aware gradient path, split out of
+        ``_train_step_impl`` so exactness of ``accum_steps`` can be
+        verified at the GRADIENT level: the flagship AdamW preset uses
+        eps=1e-9, so early updates are ~lr*sign(g) and any
+        rounding-level difference in a near-zero gradient flips a
+        param by 2*lr — post-update params are the wrong place to
+        assert grad-accumulation exactness."""
         imgs = batch[:, : self.input_frames].astype(self.compute_dtype)
         targets = batch[:, self.input_frames :]
-        rngs = {"dropout": jax.random.fold_in(self._base_rng, state.step)}
+        step_rng = jax.random.fold_in(self._base_rng, state.step)
 
-        def loss_fn(params):
-            if self.remat_forward and not state.batch_stats:
+        def loss_fn(params, batch_stats, imgs, targets, rngs):
+            if self.remat_forward and not batch_stats:
                 out = jax.checkpoint(
-                    lambda p, im: self._apply(p, state.batch_stats, im, True, rngs)[0]
+                    lambda p, im: self._apply(p, batch_stats, im, True, rngs)[0]
                 )(params, imgs)
-                new_bs = state.batch_stats
+                new_bs = batch_stats
             else:
-                out, new_bs = self._apply(params, state.batch_stats, imgs, True, rngs)
+                out, new_bs = self._apply(params, batch_stats, imgs, True, rngs)
             loss = self.preset.loss_fn(out.astype(jnp.float32), targets)
             return loss, new_bs
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if self.accum_steps == 1:
+            (loss, new_bs), grads = grad_fn(
+                state.params, state.batch_stats, imgs, targets, {"dropout": step_rng}
+            )
+        else:
+            # Gradient accumulation: m equal microbatches scanned
+            # sequentially, grads/losses AVERAGED — exact for all four
+            # reference losses (each is an elementwise mean over the
+            # batch, losses/rainfall.py), approximate only in BatchNorm
+            # statistics (per-microbatch, the standard caveat).
+            m = self.accum_steps
+            b = imgs.shape[0]
+            if b % m:
+                raise ValueError(f"batch {b} not divisible by accum_steps {m}")
+            imgs_m = imgs.reshape(m, b // m, *imgs.shape[1:])
+            tgts_m = targets.reshape(m, b // m, *targets.shape[1:])
+
+            def body(carry, mb):
+                gsum, lsum, bs, i = carry
+                rngs = {"dropout": jax.random.fold_in(step_rng, i)}
+                (l, bs), g = grad_fn(state.params, bs, mb[0], mb[1], rngs)
+                gsum = jax.tree.map(lambda a, x: a + x, gsum, g)
+                return (gsum, lsum + l, bs, i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            init = (zeros, jnp.zeros((), jnp.float32), state.batch_stats,
+                    jnp.zeros((), jnp.int32))
+            (gsum, lsum, new_bs, _), _ = jax.lax.scan(body, init, (imgs_m, tgts_m))
+            grads = jax.tree.map(lambda g: g / m, gsum)
+            loss = lsum / m
+        return loss, grads, new_bs
+
+    def _train_step_impl(self, state: TrainState, batch, lr, clip_norm):
+        loss, grads, new_bs = self._grads_impl(state, batch)
         gnorm = optax_global_norm(grads)
         if self.preset.norm_clip:
             scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
@@ -225,6 +318,20 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         return TrainState(params, opt_state, new_bs, state.step + 1), loss, gnorm
+
+    def _train_scan_impl(self, state: TrainState, batches, lr, clip_norm):
+        """k sequential train steps in ONE dispatch (``batches``:
+        (k, B, T, 1, S, S)). Same math and order as k separate
+        ``_train_step`` calls (to float-rounding tolerance — XLA fuses
+        the scan body on its own) — lax.scan just keeps the device fed
+        when per-step host dispatch would otherwise gate it."""
+
+        def body(st, batch):
+            st, loss, gnorm = self._train_step_impl(st, batch, lr, clip_norm)
+            return st, (loss, gnorm)
+
+        state, (losses, gnorms) = jax.lax.scan(body, state, batches)
+        return state, losses, gnorms
 
     def _eval_step_impl(self, state: TrainState, batch):
         imgs = batch[:, : self.input_frames].astype(self.compute_dtype)
@@ -301,8 +408,38 @@ class Trainer:
         gnorms = []
         lr_j = jnp.float32(lr)
         clip_j = jnp.float32(clip_norm)
+
+        if self.scan_steps > 1:
+            k = self.scan_steps
+
+            def grouped(it):
+                buf = []
+                for b in it:
+                    b = np.asarray(b)
+                    if buf and b.shape != buf[0].shape:
+                        # odd-shaped batch (drop_last=False tail): flush
+                        # the group and run the stragglers per-step
+                        yield from buf
+                        buf = []
+                    buf.append(b)
+                    if len(buf) == k:
+                        yield np.stack(buf)
+                        buf = []
+                yield from buf
+
+            def put(x):
+                if x.ndim == 6:  # a (k, B, ...) group
+                    if self._stack_sharding is not None:
+                        return jax.device_put(x, self._stack_sharding)
+                    return jnp.asarray(x)
+                return self._put(x)
+
+            stream = device_prefetch(grouped(loader), put)
+        else:
+            stream = device_prefetch(loader, self._put)
+
         with self._mesh_ctx():
-            for batch in device_prefetch(loader, self._put):
+            for batch in stream:
                 if self._multiprocess and "train" not in self._mh_synced:
                     # Cross-host rendezvous windows (gloo: 30s) are far
                     # shorter than compile/startup skew between hosts, so
@@ -324,17 +461,28 @@ class Trainer:
                     host_barrier("adnm:train_compiled")
                 # keep loss/gnorm as device arrays — fetching per step would
                 # force a sync and serialize the async dispatch pipeline
-                self.state, loss, gnorm = self._train_step(self.state, batch, lr_j, clip_j)
+                if batch.ndim == 6:
+                    self.state, loss, gnorm = self._train_scan(self.state, batch, lr_j, clip_j)
+                else:
+                    self.state, loss, gnorm = self._train_step(self.state, batch, lr_j, clip_j)
                 losses.append(loss)
                 gnorms.append(gnorm)
-        n = len(losses)
-        losses = np.asarray(jax.device_get(losses)) if losses else np.zeros(0)
-        gnorms = np.asarray(jax.device_get(gnorms)) if gnorms else np.zeros(0)
+        # flatten: scanned entries carry k per-step values, others one
+        losses = (
+            np.concatenate([np.atleast_1d(np.asarray(x)) for x in jax.device_get(losses)])
+            if losses else np.zeros(0)
+        )
+        gnorms = (
+            np.concatenate([np.atleast_1d(np.asarray(x)) for x in jax.device_get(gnorms)])
+            if gnorms else np.zeros(0)
+        )
+        n = int(losses.size)
         clip_count = int(np.sum(gnorms > clip_norm)) if self.preset.norm_clip else 0
         return {
             "loss": float(losses.sum()),
             "avg_grad_norm": float(gnorms.mean()) if n else 0.0,
             "clip_ratio": clip_count / max(n, 1),
+            "steps": n,
         }
 
     def predict(self, batch: np.ndarray):
@@ -472,7 +620,8 @@ class Trainer:
             if jsonl is not None:
                 jsonl.log(epoch=epoch, train_loss=tr["loss"], val_loss=val_loss,
                           test_loss=test_loss, lr=lr, grad_norm=tr["avg_grad_norm"],
-                          clip_threshold=clip_norm, clip_ratio=tr["clip_ratio"], seconds=dt)
+                          clip_threshold=clip_norm, clip_ratio=tr["clip_ratio"],
+                          steps=tr["steps"], seconds=dt)
             log_fn(
                 f"epoch {epoch}: train_loss {tr['loss']:.6f} test_loss {test_loss:.6f} "
                 f"lr {lr:.2e} grad_norm {tr['avg_grad_norm']:.4f} "

@@ -45,23 +45,30 @@ A100_BF16_PEAK = 312e12  # NVIDIA A100 dense bf16, FLOP/s (published spec)
 A100_ASSUMED_MFU = 0.35  # generous for the torch reference (see module docstring)
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak, FLOP/s (published spec)
 
-# (batch, remat_forward): reference protocol first, then probe upward —
-# larger batches are skipped gracefully if they OOM. The refiner's
-# seq-minor duality layout (ops/ssd.py linear_attn_dual_seqminor) keeps
-# the (B, small, 65536) tensors unpadded in HBM, lifting the old
-# batch-12 OOM ceiling caused by 8x lane padding of the token-minor
-# (B, 65536, 16) backward temporaries. Measured on v5e: the chip stays
-# latency-bound through batch 12 (same ~3.2ms step as batch 4/8 ->
-# ~128k frames/s/chip); batch 14 is slightly superlinear per step
-# (3.7ms) but MORE frames/s combined, so it is measured too and the
-# best combined run headlines; batch 16 OOMs 16G and stays in the list
-# as the tripwire for larger-HBM parts.
-CONFIGS = ((4, False), (8, False), (12, False), (14, False), (16, False))
+# (batch, remat_forward[, scan_steps]): reference protocol first, then
+# probe upward — larger batches are skipped gracefully if they OOM. The
+# refiner's seq-minor duality layout (ops/ssd.py
+# linear_attn_dual_seqminor) keeps the (B, small, 65536) tensors
+# unpadded in HBM, lifting the old batch-12 OOM ceiling caused by 8x
+# lane padding of the token-minor (B, 65536, 16) backward temporaries.
+# Measured on v5e: the chip stays latency-bound through batch 12 (same
+# ~3.2ms step as batch 4/8 -> ~128k frames/s/chip); batch 14 is
+# slightly superlinear per step (3.7ms) but MORE frames/s combined;
+# batch 16 OOMs 16G and stays in the list as the tripwire for
+# larger-HBM parts. scan_steps=k dispatches k steps per device call
+# (Trainer scan mode) — in the latency-bound regime the per-step
+# dispatch cost amortizes k-fold, exposing the true device step time
+# (the (k, B, ...) batch stack costs k*B*6.6MB HBM, so k shrinks as B
+# grows).
+CONFIGS = (
+    (4, False), (8, False), (12, False), (14, False), (16, False),
+    (4, False, 8), (8, False, 8), (12, False, 4), (14, False, 4),
+)
 IMG = 256
 T_IN, T_OUT = 5, 20
 
 
-def _measure(batch_size: int, remat: bool = False):
+def _measure(batch_size: int, remat: bool = False, scan_steps: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -72,7 +79,7 @@ def _measure(batch_size: int, remat: bool = False):
     preset = get_preset("ADNMUnet", T_IN, T_OUT, 6, "Shanghai")
     trainer = Trainer(
         model, preset, T_IN, T_OUT, img_size=IMG,
-        compute_dtype=jnp.bfloat16, remat_forward=remat,
+        compute_dtype=jnp.bfloat16, remat_forward=remat, scan_steps=scan_steps,
     )
 
     rng = np.random.default_rng(0)
@@ -96,9 +103,19 @@ def _measure(batch_size: int, remat: bool = False):
 
 def _measure_inner(trainer, batch, batch_size, remat, lr, clip):
     import jax
+    import jax.numpy as jnp
+
+    k = trainer.scan_steps
+    if k > 1:
+        # scan mode: k steps per dispatch on a resident (k, B, ...) stack
+        # (the per-step time is the dispatch time / k)
+        stack = jnp.broadcast_to(batch[None], (k, *batch.shape))  # dense on device
+        train_fn = lambda st: trainer._train_scan(st, stack, lr, clip)
+    else:
+        train_fn = lambda st: trainer._train_step(st, batch, lr, clip)
 
     # warmup/compile
-    trainer.state, loss, gn = trainer._train_step(trainer.state, batch, lr, clip)
+    trainer.state, loss, gn = train_fn(trainer.state)
     jax.block_until_ready(loss)
     _, out = trainer._eval_step(trainer.state, batch)
     jax.block_until_ready(out)
@@ -106,14 +123,14 @@ def _measure_inner(trainer, batch, batch_size, remat, lr, clip):
     # best-of-trials to reject host/dispatch interference noise (the
     # loopback tunnel adds a measured 2.8-3.8ms band across runs; 5
     # trials of 20 iters keeps the min stable)
-    n_iter, n_trials = 20, 5
+    n_iter, n_trials = max(1, 20 // k), 5
 
     def time_train():
         t0 = time.perf_counter()
         for _ in range(n_iter):
-            trainer.state, loss, gn = trainer._train_step(trainer.state, batch, lr, clip)
+            trainer.state, loss, gn = train_fn(trainer.state)
         jax.block_until_ready(loss)
-        return (time.perf_counter() - t0) / n_iter
+        return (time.perf_counter() - t0) / (n_iter * k)
 
     def time_rollout():
         t0 = time.perf_counter()
@@ -137,11 +154,16 @@ def _measure_inner(trainer, batch, batch_size, remat, lr, clip):
         except Exception:
             return 0.0, 0.0
 
-    train_flops, train_bytes = cost(trainer._train_step, trainer.state, batch, lr, clip)
+    if k > 1:
+        train_flops, train_bytes = cost(trainer._train_scan, trainer.state, stack, lr, clip)
+        train_flops, train_bytes = train_flops / k, train_bytes / k
+    else:
+        train_flops, train_bytes = cost(trainer._train_step, trainer.state, batch, lr, clip)
     roll_flops, roll_bytes = cost(trainer._eval_step, trainer.state, batch)
     return {
         "batch": batch_size,
         "remat": remat,
+        "scan": k,
         "train_step_s": train_step_s,
         "rollout_step_s": rollout_step_s,
         "train_trials_s": train_trials,
@@ -201,13 +223,14 @@ def main():
         pass
 
     runs = []
-    for b, remat in CONFIGS:
+    for cfg in CONFIGS:
+        b, remat, scan = (cfg + (1,))[:3] if len(cfg) == 2 else cfg
         try:
-            runs.append(_measure(b, remat))
+            runs.append(_measure(b, remat, scan))
         except Exception as e:  # e.g. HBM OOM on a smaller accelerator
             import sys
 
-            print(f"# batch {b} (remat={remat}) failed: {type(e).__name__}",
+            print(f"# batch {b} (remat={remat}, scan={scan}) failed: {type(e).__name__}",
                   file=sys.stderr, flush=True)
             # the traceback held the failed Trainer through _measure's
             # finally; collect again now that it's dropped so the dead
@@ -248,6 +271,7 @@ def main():
         return {
             "batch": r["batch"],
             "remat": r["remat"],
+            "scan_steps": r.get("scan", 1),
             "train_step_s": round(r["train_step_s"], 4),
             "rollout_step_s": round(r["rollout_step_s"], 4),
             # measured spread across trials (host/tunnel dispatch noise;
@@ -275,6 +299,7 @@ def main():
         "detail": {
             "headline_batch": best["batch"],
             "headline_remat": best["remat"],
+            "headline_scan_steps": best.get("scan", 1),
             "img": IMG,
             "dtype": "bfloat16 compute, fp32 params",
             "per_batch": [per_batch_detail(r) for r in runs],

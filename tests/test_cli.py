@@ -71,3 +71,23 @@ class TestRefinerRematFlag:
         args = _parse(["--model", "SmaATUnet", "--no-refiner-remat", "--synthetic"])
         with pytest.raises(SystemExit, match="only supported for --model ADNMUnet"):
             build(args, need_loaders=False)
+
+
+class TestDispatchModeFlags:
+    def test_train_parser_has_flags(self):
+        from adnm_tpu.cli.train import make_parser
+
+        args = make_parser().parse_args(
+            ["--scan-steps", "4", "--accum-steps", "2", "--synthetic"]
+        )
+        assert (args.scan_steps, args.accum_steps) == (4, 2)
+        default = make_parser().parse_args(["--synthetic"])
+        assert (default.scan_steps, default.accum_steps) == (1, 1)
+
+    def test_accum_must_divide_batch(self):
+        from adnm_tpu.cli.common import build
+
+        args = _parse(["--model", "SmaATUnet", "--synthetic", "--batch-size", "4"])
+        args.accum_steps = 3
+        with pytest.raises(SystemExit, match="divide"):
+            build(args, need_loaders=False)

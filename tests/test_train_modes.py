@@ -1,0 +1,190 @@
+"""Trainer dispatch/memory modes: scan_steps (k train steps per device
+dispatch via lax.scan) and accum_steps (gradient accumulation).
+
+Tolerance design note: the flagship AdamW preset uses eps=1e-9, so an
+early update is ~lr*sign(m/sqrt(v)) per param — a rounding-level
+difference in a near-zero gradient (scan-body vs standalone fusion,
+microbatch vs full-batch reduction order) flips that param's update by
+2*lr. Post-update params therefore CANNOT be compared tightly across
+differently-compiled-but-mathematically-equal paths; exactness is
+asserted where it genuinely holds — at the gradient level
+(Trainer._grads_impl) — and trajectory-level comparisons get
+documented sign-flip-band tolerances.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adnm_tpu.data.shanghai import _synthetic_clip
+from adnm_tpu.train import Trainer, get_preset
+
+TINY = dict(
+    embed_dim=(8, 8, 8, 8, 8, 8), refine_dim=(8, 8, 8, 8), wt_levels=(1, 1, 1),
+    headdim=2, refine_headdim=(2, 2, 2, 2), depth=(1, 1, 1), refine_depth=(1, 1, 1, 1),
+)
+
+
+def _batches(n: int, b: int, frames: int = 7, size: int = 32):
+    rng = np.random.default_rng(3)
+    out = []
+    for _ in range(n):
+        clips = np.stack([_synthetic_clip(rng, frames, size) for _ in range(b)])
+        out.append(np.ascontiguousarray(clips[:, :, None], np.float32))
+    return out
+
+
+def _tiny_trainer(**kw):
+    from adnm_tpu.models.adnm_unet import ADNMUNet
+
+    model = ADNMUNet(channels=5, out_channels=2, kernel=(3, 3, 3), **TINY)
+    preset = get_preset("ADNMUnet", 5, 2, 6, "Shanghai")
+    return Trainer(model, preset, input_frames=5, output_frames=2, img_size=32, **kw)
+
+
+def _params_close(p1, p2, rtol=1e-5, atol=1e-6):
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol
+        ),
+        p1, p2,
+    )
+
+
+class TestScanSteps:
+    def test_matches_sequential_incl_tail(self):
+        """5 batches at scan_steps=2 (two groups + a per-step tail) must
+        produce the same training trajectory as 5 plain steps. Same step
+        math and order, but XLA fuses the scan body differently than the
+        standalone step, and AdamW(eps=1e-9) amplifies rounding-level
+        grad differences into +/-2*lr param flips (see module note) that
+        then feed back through the en_rainfall loss's >= indicators —
+        so the trajectory comparison uses a sign-flip-band tolerance.
+        The structural facts (step count, per-step loss list length,
+        clip accounting, tail handling) must match exactly."""
+        batches = _batches(5, 2)
+        t_seq = _tiny_trainer(seed=0)
+        t_scan = _tiny_trainer(seed=0, scan_steps=2)
+        s_seq = t_seq.train_epoch(list(batches), lr=1e-3, clip_norm=0.025)
+        s_scan = t_scan.train_epoch(list(batches), lr=1e-3, clip_norm=0.025)
+        assert np.isfinite(s_scan["loss"])
+        assert int(t_scan.state.step) == 5
+        assert s_scan["steps"] == s_seq["steps"] == 5
+        assert s_scan["clip_ratio"] == s_seq["clip_ratio"]
+        np.testing.assert_allclose(s_scan["loss"], s_seq["loss"], rtol=5e-3)
+        np.testing.assert_allclose(
+            s_scan["avg_grad_norm"], s_seq["avg_grad_norm"], rtol=2e-2
+        )
+        # params: rtol for real drift + atol 3e-3 for the +/-2*lr
+        # (lr=1e-3) Adam sign-flip band over 5 steps
+        _params_close(t_scan.state.params, t_seq.state.params,
+                      rtol=1e-2, atol=3e-3)
+
+    def test_rejects_bad_value(self):
+        with pytest.raises(ValueError):
+            _tiny_trainer(scan_steps=0)
+
+
+class TestAccumSteps:
+    def test_grads_match_full_batch(self):
+        """accum_steps=2 on a batch of 4 must equal the full-batch
+        GRADIENTS: the flagship's en_rainfall loss is an elementwise
+        mean (losses/rainfall.py), so the average of equal-microbatch
+        losses/grads is mathematically exact — only reduction-order
+        rounding remains."""
+        (batch,) = _batches(1, 4)
+        t_full = _tiny_trainer(seed=0)
+        t_acc = _tiny_trainer(seed=0, accum_steps=2)
+        loss_f, g_f, _ = jax.jit(t_full._grads_impl)(t_full.state, batch)
+        loss_a, g_a, _ = jax.jit(t_acc._grads_impl)(t_acc.state, batch)
+        np.testing.assert_allclose(float(loss_a), float(loss_f), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-7
+            ),
+            g_a, g_f,
+        )
+
+    def test_step_runs_and_matches_loss(self):
+        """Full accumulated train step: loss/gnorm match the full-batch
+        step tightly; params only to the Adam sign-flip band (module
+        note) — the strong exactness check is the gradient-level test
+        above."""
+        (batch,) = _batches(1, 4)
+        t_full = _tiny_trainer(seed=0)
+        t_acc = _tiny_trainer(seed=0, accum_steps=2)
+        lr, clip = jnp.float32(1e-3), jnp.float32(0.025)
+        sf, loss_f, gn_f = t_full._train_step(t_full.state, batch, lr, clip)
+        sa, loss_a, gn_a = t_acc._train_step(t_acc.state, batch, lr, clip)
+        np.testing.assert_allclose(float(loss_a), float(loss_f), rtol=1e-5)
+        np.testing.assert_allclose(float(gn_a), float(gn_f), rtol=1e-4)
+        assert int(sa.step) == int(sf.step) == 1
+        _params_close(sa.params, sf.params, rtol=1e-3, atol=2.5e-3)
+
+    def test_indivisible_batch_raises(self):
+        (batch,) = _batches(1, 3)
+        t = _tiny_trainer(seed=0, accum_steps=2)
+        with pytest.raises(ValueError, match="divisible"):
+            t._train_step(t.state, batch, jnp.float32(1e-3), jnp.float32(0.025))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the virtual 8-device mesh")
+class TestScanStepsMesh:
+    def test_scan_dp_zero1_matches_sequential(self):
+        """scan_steps under a DP mesh + ZeRO-1 (the pinned out_shardings
+        branch), two phases. Phase 1 compares ONE scanned group against
+        the same two sequential steps tightly: measured drift is 0 at
+        step 1 and ~2e-6 relative at step 2 (the scan body is a
+        different XLA fusion of the same math). Phase 2 continues both
+        trainers through train_epoch for the grouping/flattening
+        structure; its loss band is wide because rounding compounds
+        ~30-50x per step through BatchNorm + momentum dynamics
+        (measured: ~1e-3 relative by step 4 — identical growth with and
+        without a mesh, so it is training-dynamics amplification, not a
+        sharding artifact)."""
+        from adnm_tpu.models import create_model
+        from adnm_tpu.parallel import make_mesh
+
+        model = create_model("SmaATUnet", 5, 2, 6)
+        preset = get_preset("SmaATUnet", 5, 2, 6, "Shanghai")
+        batches = _batches(4, 8)
+        mesh = make_mesh(8)
+        lr, clip = jnp.float32(1e-2), jnp.float32(0.0)
+        t_seq = Trainer(model, preset, 5, 2, img_size=32, mesh=mesh,
+                        shard_opt_state=True)
+        t_scan = Trainer(model, preset, 5, 2, img_size=32, mesh=mesh,
+                         shard_opt_state=True, scan_steps=2)
+
+        # phase 1: one (k=2, B, ...) scanned dispatch vs two plain steps
+        seq_losses = []
+        with t_seq._mesh_ctx():
+            for b in batches[:2]:
+                t_seq.state, l, _ = t_seq._train_step(
+                    t_seq.state, t_seq._put(b), lr, clip
+                )
+                seq_losses.append(float(l))
+        stack = np.stack(batches[:2])
+        with t_scan._mesh_ctx():
+            x = jax.device_put(stack, t_scan._stack_sharding)
+            t_scan.state, ls, _ = t_scan._train_scan(t_scan.state, x, lr, clip)
+        scan_losses = np.asarray(jax.device_get(ls))
+        assert scan_losses.shape == (2,)
+        np.testing.assert_allclose(scan_losses[0], seq_losses[0], rtol=1e-6)
+        np.testing.assert_allclose(scan_losses[1], seq_losses[1], rtol=1e-4)
+        # after two lr=1e-2 SGD steps the scan-body fusion leaves
+        # rounding-scale diffs on a handful of params (measured band:
+        # <=8/16384 elements off, max ~5.3e-5 abs, varying with XLA
+        # scheduling) — far below any semantic-bug scale: the known XLA
+        # sharding defects are SYSTEMATIC 2x-class errors on whole
+        # tensors, and the per-step losses above match to 1e-6/1e-4
+        _params_close(t_scan.state.params, jax.device_get(t_seq.state.params),
+                      rtol=1e-3, atol=1e-4)
+
+        # phase 2: continue via train_epoch (grouping, flattened
+        # telemetry, donation across groups); wide measured loss band
+        s_seq = t_seq.train_epoch(batches[2:], lr=1e-2, clip_norm=0.0)
+        s_scan = t_scan.train_epoch(batches[2:], lr=1e-2, clip_norm=0.0)
+        assert s_scan["steps"] == s_seq["steps"] == 2
+        np.testing.assert_allclose(s_scan["loss"], s_seq["loss"], rtol=5e-3)
+        assert int(t_scan.state.step) == int(t_seq.state.step) == 4
