@@ -215,12 +215,10 @@ def main():
 
     import jax
 
-    try:
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from adnm_tpu.utils.cache import enable_compile_cache
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    enable_compile_cache(cache)
 
     runs = []
     for cfg in CONFIGS:

@@ -24,9 +24,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compile cache (shared with bench.py/__graft_entry__.py): the
 # 1-core host recompiles big graphs in minutes; warm reruns take seconds.
+# enable_compile_cache also hardens entry writes to atomic temp+rename —
+# jax 0.9.0's stock put() is a torn-write segfault waiting to happen when
+# the 2-process multi-host tests share this directory (utils/cache.py).
+from adnm_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+enable_compile_cache(_CACHE)

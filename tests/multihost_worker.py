@@ -26,12 +26,13 @@ assert (pi, pc) == (process_id, num_processes), (pi, pc)
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# Both workers (and the pytest parent) share this cache: atomic entry
+# writes are mandatory here, or a worker can read a torn executable the
+# other worker is mid-writing and segfault (utils/cache.py).
+from adnm_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
 cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+enable_compile_cache(cache)
 
 import numpy as np  # noqa: E402
 
