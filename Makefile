@@ -1,4 +1,13 @@
-.PHONY: test bench smoke dryrun entry
+.PHONY: test bench smoke dryrun entry warm
+
+# Fresh-container cache warm: run FIRST each round, in the background
+# (the gitignored .jax_cache does not survive container recreation, and
+# the driver's end-of-round dryrun + bench must find a warm cache to fit
+# its timeout). Serialized: this host has ONE core.
+warm:
+	ADNM_DRYRUN_BUDGET_S=3000 python -u \
+	    -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+	python bench.py
 
 test:
 	python -m pytest tests/ -x -q
