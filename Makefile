@@ -7,6 +7,7 @@
 warm:
 	ADNM_DRYRUN_BUDGET_S=3000 python -u \
 	    -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+	$(MAKE) entry
 	python bench.py
 
 test:
