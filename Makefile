@@ -1,12 +1,29 @@
-.PHONY: test bench smoke dryrun entry warm
+.PHONY: test bench smoke dryrun entry warm warm-locked
+
+SHELL := /bin/bash
 
 # Fresh-container cache warm: run FIRST each round, in the background
 # (the gitignored .jax_cache does not survive container recreation, and
 # the driver's end-of-round dryrun + bench must find a warm cache to fit
-# its timeout). Serialized: this host has ONE core.
+# its timeout). Three steps: (1) the multichip-dryrun CPU cache, (2) the
+# driver's entry() TPU graph, (3) bench.py's TPU graphs. Guarded by an
+# flock so a second warm (or any caller of this target) fails fast
+# instead of thrashing the single core; fails LOUDLY if the dryrun did
+# not complete all 3 variants (the driver's end-of-round record must
+# show 3/3).
 warm:
-	ADNM_DRYRUN_BUDGET_S=3000 python -u \
-	    -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+	@flock -n .warm.lock $(MAKE) warm-locked || \
+	    { echo "warm: FAILED (either .warm.lock is held by another" \
+	           "compile-heavy run on this 1-core host, or a warm step" \
+	           "failed — see above)"; exit 1; }
+
+warm-locked:
+	set -o pipefail; ADNM_DRYRUN_BUDGET_S=3000 python -u \
+	    -c "import __graft_entry__ as g; g.dryrun_multichip(8)" \
+	    2>&1 | tee /tmp/adnm_warm_dryrun.log
+	@grep -q "3/3 variants OK" /tmp/adnm_warm_dryrun.log || \
+	    { echo "warm: dryrun completed but NOT all 3 variants ran" \
+	           "(see /tmp/adnm_warm_dryrun.log)"; exit 1; }
 	$(MAKE) entry
 	python bench.py
 
