@@ -66,6 +66,17 @@ def add_common_args(p: argparse.ArgumentParser):
                         "precision; the loss is computed in fp32). This is "
                         "the benched TPU configuration — roughly halves the "
                         "step time vs fp32 compute on the MXU")
+    p.add_argument("--attn-type", default="standard", choices=["standard", "mla"],
+                   help="ADNMUnet only: mixer at the AttentionBlock sites — "
+                        "standard softmax MHA (the reference's wired choice) "
+                        "or DeepSeek-V2 MLA (present-but-unwired in the "
+                        "reference, selectable here)")
+    p.add_argument("--transfer-dtype", default="float32", choices=["float32", "uint8"],
+                   help="batch wire format host->device. uint8 ships "
+                        "round(x*255) and normalizes on device: 4x fewer "
+                        "transfer bytes and a 4x smaller scan-mode batch "
+                        "stack in HBM; <=1/510 per-pixel requantization vs "
+                        "float32 (the h5 source is uint8 anyway)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--pretrained-npz", default=None,
                    help="TransUnet only: ImageNet R50+ViT-B_16 .npz to initialize "
@@ -153,6 +164,10 @@ def build(args, need_loaders=True):
         if args.model != "ADNMUnet":
             raise SystemExit("--no-refiner-remat is only supported for --model ADNMUnet")
         model_kwargs["refiner_remat"] = False
+    if getattr(args, "attn_type", "standard") not in (None, "standard"):
+        if args.model != "ADNMUnet":
+            raise SystemExit("--attn-type is only supported for --model ADNMUnet")
+        model_kwargs["attn_type"] = args.attn_type
     model = create_model(
         args.model, input_frames, output_frames, frame_interval,
         img_size=args.img_size, **model_kwargs,
@@ -204,10 +219,11 @@ def build(args, need_loaders=True):
         # one short host deadlocks the others' collectives). Val/test
         # stay unsharded so every host computes the same full-set loss
         # (best-checkpoint gating must agree across hosts).
+        tdt = getattr(args, "transfer_dtype", "float32") or "float32"
         loaders = (
             BatchLoader(tr, args.batch_size, shuffle=True, seed=args.seed,
-                        row_shard=proc_shard),
-            BatchLoader(va, args.batch_size, drop_last=False),
-            BatchLoader(te, args.batch_size, drop_last=False),
+                        row_shard=proc_shard, transfer_dtype=tdt),
+            BatchLoader(va, args.batch_size, drop_last=False, transfer_dtype=tdt),
+            BatchLoader(te, args.batch_size, drop_last=False, transfer_dtype=tdt),
         )
     return trainer, loaders, (input_frames, output_frames, frame_interval, thresholds)

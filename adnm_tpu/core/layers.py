@@ -12,6 +12,7 @@ reference.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional, Tuple, Union
 
@@ -187,6 +188,23 @@ def _to_pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _resolve_pads(x_shape, kernel_shape, strides, pad):
+    """(pads, oh, ow) for NHWC x / HWIO kernel with torch-style padding."""
+    kh, kw = kernel_shape[0], kernel_shape[1]
+    _, h, w, _ = x_shape
+    sh, sw = strides
+    if pad == "SAME":
+        oh, ow = -(-h // sh), -(-w // sw)
+        ph_t = max((oh - 1) * sh + kh - h, 0)
+        pw_t = max((ow - 1) * sw + kw - w, 0)
+        pads = ((ph_t // 2, ph_t - ph_t // 2), (pw_t // 2, pw_t - pw_t // 2))
+    else:
+        pads = tuple((int(lo), int(hi)) for lo, hi in pad)
+        oh = (h + pads[0][0] + pads[0][1] - kh) // sh + 1
+        ow = (w + pads[1][0] + pads[1][1] - kw) // sw + 1
+    return pads, oh, ow
+
+
 def _grouped_conv_tapsum(x, kernel, strides, pad, groups):
     """Grouped NHWC conv as an explicit ``kh*kw`` shift-and-MAC.
 
@@ -198,20 +216,13 @@ def _grouped_conv_tapsum(x, kernel, strides, pad, groups):
     under this XLA version (see Conv2d below); this lowering's backward
     is a plain dot-general and is gradient-exact under every mesh
     (verified in tests/test_parallel.py::TestXlaGroupedConvGradDefect).
+    Used as the reference oracle for ``grouped_conv`` below.
     """
     kh, kw, i_per_g, features = kernel.shape
     b, h, w, cin = x.shape
     o_per_g = features // groups
     sh, sw = strides
-    if pad == "SAME":
-        oh, ow = -(-h // sh), -(-w // sw)
-        ph_t = max((oh - 1) * sh + kh - h, 0)
-        pw_t = max((ow - 1) * sw + kw - w, 0)
-        pads = ((ph_t // 2, ph_t - ph_t // 2), (pw_t // 2, pw_t - pw_t // 2))
-    else:
-        pads = tuple((int(lo), int(hi)) for lo, hi in pad)
-        oh = (h + pads[0][0] + pads[0][1] - kh) // sh + 1
-        ow = (w + pads[1][0] + pads[1][1] - kw) // sw + 1
+    pads, oh, ow = _resolve_pads(x.shape, kernel.shape, strides, pad)
     xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
     y = None
     for dy in range(kh):
@@ -228,6 +239,88 @@ def _grouped_conv_tapsum(x, kernel, strides, pad, groups):
             )
             y = t if y is None else y + t
     return y.reshape(b, oh, ow, features)
+
+
+def _grouped_conv_native(x, kernel, strides, pads, groups):
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=strides,
+        padding=pads,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grouped_conv(x, kernel, strides, pads, groups):
+    """Grouped/depthwise NHWC conv: native XLA forward, mesh-exact backward.
+
+    Forward and INPUT gradient use lax's ``feature_group_count`` path —
+    the fast fused TPU kernels (one sweep over HBM with windowed VMEM
+    reuse). The WEIGHT gradient is the one thing XLA v0.9.0's SPMD
+    partitioner gets wrong for grouped convs (scaled by the product of
+    the mesh axes the operands are replicated over, on any multi-axis
+    mesh — see Conv2d below), so it alone is computed as an explicit
+    per-tap einsum reduction, which lowers to plain dot-generals and is
+    gradient-exact under every mesh
+    (tests/test_parallel.py::TestXlaGroupedConvGradDefect).
+
+    vs the previous all-tap-sum lowering (``_grouped_conv_tapsum``, kept
+    as the tests' oracle): the forward no longer materializes kh*kw
+    fp32 shifted copies of the input — measured as a large share of the
+    r1-r3 step time (the flagship has ~50 depthwise conv sites at
+    256x256, many with 5x5 kernels = 25 taps).
+
+    ``strides``/``pads``/``groups`` must be hashable (tuples), ``pads``
+    either "SAME" or ((ph_lo, ph_hi), (pw_lo, pw_hi)).
+    """
+    pads_t, _, _ = _resolve_pads(x.shape, kernel.shape, strides, pads)
+    return _grouped_conv_native(x, kernel, strides, pads_t, groups)
+
+
+def _grouped_conv_fwd(x, kernel, strides, pads, groups):
+    pads_t, _, _ = _resolve_pads(x.shape, kernel.shape, strides, pads)
+    y = _grouped_conv_native(x, kernel, strides, pads_t, groups)
+    return y, (x, kernel)
+
+
+def _grouped_conv_bwd(strides, pads, groups, resids, ct):
+    x, kernel = resids
+    kh, kw, i_per_g, features = kernel.shape
+    b, _, _, cin = x.shape
+    o_per_g = features // groups
+    sh, sw = strides
+    pads_t, oh, ow = _resolve_pads(x.shape, kernel.shape, strides, pads)
+
+    # dx: activation cotangent of the native conv — NOT affected by the
+    # partitioner's weight-grad defect; reuse XLA's own transposed-conv
+    # rule by differentiating the native op wrt x only.
+    _, vjp_x = jax.vjp(
+        lambda xx: _grouped_conv_native(xx, kernel, strides, pads_t, groups), x
+    )
+    (dx,) = vjp_x(ct)
+
+    # dW: explicit per-tap contraction (plain dot-generals; mesh-exact).
+    xp = jnp.pad(x, ((0, 0), pads_t[0], pads_t[1], (0, 0)))
+    ctg = ct.reshape(b, oh, ow, groups, o_per_g)
+    taps = []
+    for dy in range(kh):
+        for dx_ in range(kw):
+            xs = jax.lax.slice(
+                xp,
+                (0, dy, dx_, 0),
+                (b, dy + (oh - 1) * sh + 1, dx_ + (ow - 1) * sw + 1, cin),
+                (1, sh, sw, 1),
+            ).reshape(b, oh, ow, groups, i_per_g)
+            taps.append(jnp.einsum(
+                "bhwgi,bhwgo->igo", xs, ctg,
+                preferred_element_type=jnp.float32,
+            ))
+    dW = jnp.stack(taps).reshape(kh, kw, i_per_g, groups * o_per_g)
+    return dx, dW.astype(kernel.dtype)
+
+
+grouped_conv.defvjp(_grouped_conv_fwd, _grouped_conv_bwd)
 
 
 class Conv2d(nn.Module):
@@ -265,19 +358,19 @@ class Conv2d(nn.Module):
             pad = [(ph, ph), (pw, pw)]
         dtype = self.dtype or x.dtype
         if self.groups > 1:
-            # Grouped/depthwise convs NEVER go through lax's
-            # feature_group_count: XLA v0.9.0's SPMD partitioner scales
-            # their WEIGHT gradients by the product of the mesh axes the
-            # operands are replicated over (silently — loss/activations
-            # stay correct), on ANY multi-axis mesh. The explicit
-            # tap-sum lowering below is gradient-exact under every mesh
-            # (its backward is a plain dot-general reduction), and
-            # depthwise convs never use the MXU anyway — per-tap
-            # multiply-adds are the same VPU work the TPU backend emits.
-            # Defect matrix + fixed-upstream tripwire:
+            # Grouped/depthwise convs: native XLA forward + input grad,
+            # tap-einsum WEIGHT grad. XLA v0.9.0's SPMD partitioner
+            # scales grouped convs' weight gradients by the product of
+            # the mesh axes the operands are replicated over (silently —
+            # loss/activations stay correct), on ANY multi-axis mesh, so
+            # the weight grad alone bypasses it via plain dot-generals
+            # (gradient-exact under every mesh); everything else uses
+            # the fast fused feature_group_count kernels. Defect matrix
+            # + fixed-upstream tripwire:
             # tests/test_parallel.py::TestXlaGroupedConvGradDefect.
-            y = _grouped_conv_tapsum(
-                x.astype(dtype), kernel.astype(dtype), (sh, sw), pad, self.groups
+            pad_t = pad if pad == "SAME" else tuple(pad)
+            y = grouped_conv(
+                x.astype(dtype), kernel.astype(dtype), (sh, sw), pad_t, self.groups
             ).astype(dtype)
         else:
             y = jax.lax.conv_general_dilated(

@@ -27,6 +27,7 @@ class BatchLoader:
         prefetch: int = 2,
         shard: tuple[int, int] | None = None,
         row_shard: tuple[int, int] | None = None,
+        transfer_dtype: str = "float32",
     ):
         """Per-host data sharding hooks for multi-host training (SURVEY
         section 5, 'Distributed communication backend'):
@@ -44,6 +45,16 @@ class BatchLoader:
         counts (n_batches % process_count != 0), so this is only safe
         for independent per-host work (e.g. sharded offline eval), NOT
         for lockstep multi-host training.
+
+        ``transfer_dtype="uint8"`` ships batches as round(x * 255)
+        uint8 instead of float32 — 4x fewer host->HBM bytes on the
+        transfer-bound path (and a 4x smaller (k, B, ...) scan-mode
+        stack in HBM); the Trainer normalizes back to [0, 1] on device
+        (train/loop.py _split_batch). Bit-faithful to the reference's
+        native storage (the h5 clips ARE uint8, datasets/Shanghai.py:
+        52-59) up to the post-resize requantization: antialiased
+        resampling produces intermediate values, so re-rounding costs
+        <= 1/510 per pixel vs the float32 wire format.
         """
         assert not (shard and row_shard), "shard and row_shard are exclusive"
         self.dataset = dataset
@@ -54,6 +65,9 @@ class BatchLoader:
         self.prefetch = prefetch
         self.shard = shard
         self.row_shard = row_shard
+        if transfer_dtype not in ("float32", "uint8"):
+            raise ValueError(f"transfer_dtype must be float32|uint8, got {transfer_dtype}")
+        self.transfer_dtype = transfer_dtype
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -91,6 +105,8 @@ class BatchLoader:
     def _make_batch(self, idxs) -> np.ndarray:
         clips = [self.dataset[int(i)] for i in idxs]
         batch = np.stack(clips)[:, :, None]  # (B, T, 1, S, S)
+        if self.transfer_dtype == "uint8":
+            return np.clip(np.rint(batch * 255.0), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(batch, np.float32)
 
     def __iter__(self) -> Iterator[np.ndarray]:

@@ -130,9 +130,16 @@ class MLA(nn.Module):
         return Dense(self.hidden_size, use_bias=False, name="out_proj")(out)
 
 
-def generate_mla_config(dim: int) -> dict:
-    """Reference: models/MLA.py:351-400 (generate_mla_config)."""
-    if dim not in (16, 32, 64, 128, 256, 512):
+def generate_mla_config(dim: int, strict: bool = True) -> dict:
+    """Reference: models/MLA.py:351-400 (generate_mla_config).
+
+    ``strict=False`` lifts the reference's power-of-two whitelist so the
+    same head/rank formulas apply at arbitrary dims (needed when MLA is
+    wired into the U-Net's AttentionBlock sites, whose dims follow the
+    embed schedule — e.g. 128/1024 for the flagship but 8 in the tiny
+    test configs); requires dim % max(1, dim // 8) == 0, which the
+    formula guarantees for dim >= 8 multiples of 8."""
+    if strict and dim not in (16, 32, 64, 128, 256, 512):
         raise ValueError(f"Unsupported dim={dim}")
     num_heads = max(1, dim // 8)
     v_head_dim = dim // num_heads

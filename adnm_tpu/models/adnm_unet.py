@@ -142,11 +142,19 @@ class Block(nn.Module):
 
 class AttentionBlock(nn.Module):
     """Attention wrapper with the Block skeleton
-    (reference: models/ADNMUNet.py:172-238)."""
+    (reference: models/ADNMUNet.py:172-238).
+
+    ``attn_type`` selects the token mixer: "standard" (softmax MHA, the
+    reference's wired choice, ADNMUNet.py:181) or "mla" (DeepSeek-V2
+    multi-head latent attention, mixers/attention.py::MLA — present in
+    the reference at models/MLA.py:108-307 but never wired into the
+    model; here it is selectable, configured by the reference's own
+    generate_mla_config table)."""
 
     dim: int
     out_dim: Optional[int] = None
     headdim: int = 4
+    attn_type: str = "standard"  # "standard" | "mla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -175,7 +183,14 @@ class AttentionBlock(nn.Module):
         scale2 = scalar_param(self, "attn_scale2", 1.0)
         shift2 = scalar_param(self, "attn_shift2", 0.0)
         x_norm = scale1 * BiasFreeLayerNorm(d, name="attn_norm1")(xs) + shift1
-        attn = StandardAttention(d, heads=d // self.headdim, dim_head=self.headdim, dtype=self.dtype, name="attn_layer")
+        if self.attn_type == "mla":
+            from adnm_tpu.mixers.attention import MLA, generate_mla_config
+
+            attn = MLA(**generate_mla_config(d, strict=False), name="attn_layer")
+        elif self.attn_type == "standard":
+            attn = StandardAttention(d, heads=d // self.headdim, dim_head=self.headdim, dtype=self.dtype, name="attn_layer")
+        else:
+            raise ValueError(f"attn_type must be standard|mla, got {self.attn_type!r}")
         xs = beta1 * xs + beta2 * attn(x_norm)
         x_norm = scale2 * BiasFreeLayerNorm(d, name="attn_norm2")(xs) + shift2
         xs = beta3 * xs + beta4 * Mlp(d, dtype=self.dtype, name="attn_mlp")(x_norm)
@@ -203,6 +218,7 @@ class Encoder(nn.Module):
     simple_patch: bool = False
     linear_attn_duality: bool = True
     mixer_type: str = "adnssd"
+    attn_type: str = "standard"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -238,7 +254,7 @@ class Encoder(nn.Module):
         skips.append(x)
         x = DownSample(self.ratio[2], name="down_sample3")(x)
 
-        x = AttentionBlock(ed[2], headdim=self.headdim, dtype=self.dtype, name="attn")(x)
+        x = AttentionBlock(ed[2], headdim=self.headdim, attn_type=self.attn_type, dtype=self.dtype, name="attn")(x)
         skips.append(x)
 
         blk = functools.partial(
@@ -257,7 +273,7 @@ class Encoder(nn.Module):
         x = blk(dim=ed[4], out_dim=ed[5], num_layers=self.depth[2], name="encoder6")(x)
         skips.append(x)
 
-        x = AttentionBlock(ed[5], headdim=self.headdim, dtype=self.dtype, name="attn2")(x)
+        x = AttentionBlock(ed[5], headdim=self.headdim, attn_type=self.attn_type, dtype=self.dtype, name="attn2")(x)
         return x, skips, res
 
 
@@ -276,6 +292,7 @@ class Decoder(nn.Module):
     compute_dead_features: bool = False
     linear_attn_duality: bool = True
     mixer_type: str = "adnssd"
+    attn_type: str = "standard"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -311,7 +328,7 @@ class Decoder(nn.Module):
         x = blk(dim=ed[3] * 2, out_dim=ed[2], num_layers=self.depth[0], name="decoder3")(
             x, residual=skips[4], features=features[2]
         )
-        x = AttentionBlock(ed[2], ed[2], headdim=self.headdim, dtype=self.dtype, name="attn")(x)
+        x = AttentionBlock(ed[2], ed[2], headdim=self.headdim, attn_type=self.attn_type, dtype=self.dtype, name="attn")(x)
         x = UpSample(ed[2], ratio=self.ratio[2], name="up_sample3")(x)
 
         from adnm_tpu.parallel.mesh import maybe_shard
@@ -415,6 +432,10 @@ class ADNMUNet(nn.Module):
     compute_dead_features: bool = False
     linear_attn_duality: bool = True
     mixer_type: str = "adnssd"
+    # Attention mixer for the AttentionBlock sites: "standard" (the
+    # reference's wired choice) or "mla" (DeepSeek-V2 latent attention
+    # — present-but-unwired in the reference, selectable here).
+    attn_type: str = "standard"
     # Rematerialize the refiner blocks' forward in the backward pass.
     # Default True (fits the most HBM configurations); with the seq-minor
     # duality layout, batch <= 8 at 256^2 on 16G v5e also fits with False
@@ -430,13 +451,15 @@ class ADNMUNet(nn.Module):
             self.embed_dim, self.depth, self.headdim, self.channels,
             self.kernel, self.ratio, self.wt_levels, self.norm_epsilon,
             self.instance_norm, self.simple_patch,
-            self.linear_attn_duality, self.mixer_type, self.dtype, name="encoder",
+            self.linear_attn_duality, self.mixer_type,
+            attn_type=self.attn_type, dtype=self.dtype, name="encoder",
         )(x)
         x = Decoder(
             self.embed_dim, self.depth, self.headdim, self.refine_dim,
             self.kernel, self.ratio, self.wt_levels, self.norm_epsilon,
             self.instance_norm, self.compute_dead_features,
-            self.linear_attn_duality, self.mixer_type, self.dtype, name="decoder",
+            self.linear_attn_duality, self.mixer_type,
+            attn_type=self.attn_type, dtype=self.dtype, name="decoder",
         )(x, skips)
         out = Refiner(
             self.refine_dim, self.refine_depth, self.refine_headdim,

@@ -113,6 +113,14 @@ def ssd_state_update(
     TPU equivalent of mamba_ssm's ``selective_state_update`` Triton
     kernel (reference: models/ADNssd.py:9).
 
+    Capability library, unwired by design (like the reference, which
+    imports but never calls its counterpart in serving): every shipped
+    model's sequence axis is SPATIAL — a frame's tokens all arrive at
+    once, and the rollout horizon (cli/predict.py --horizon) must
+    re-run the full conv U-Net per predicted frame because each new
+    frame changes every token. Kept exported + oracle-tested
+    (tests/test_ssd.py) for future token-autoregressive models.
+
     state: (B, H, N, P); x_t: (B, H, P); dt_t: (B, H); A: (H,) negative;
     B_t/C_t: (B, N); D: (H,). Returns (new_state, y_t) with
       new_state = state * exp(dt*A) + B_t (x_t dt_t)

@@ -238,6 +238,26 @@ class Trainer:
 
     # ---- jitted impls -------------------------------------------------
 
+    def _split_batch(self, batch):
+        """(imgs, targets) from a (B, T_in+T_out, 1, S, S) batch.
+
+        Accepts two wire formats: float (already in [0, 1], the
+        reference's host-side /255, datasets/Shanghai.py:52-59) and
+        uint8 (values round(x * 255) — 4x fewer host->HBM bytes; the
+        /255 runs on device, fused into the first cast). uint8 is
+        bit-faithful to the reference's own storage format (the h5
+        clips are uint8 0..70) up to the post-resize requantization
+        (<= 1/510 per pixel, see data/loader.py transfer_dtype).
+        """
+        t = self.input_frames
+        if jnp.issubdtype(batch.dtype, jnp.integer):
+            imgs = batch[:, :t].astype(self.compute_dtype) * self.compute_dtype(1.0 / 255.0)
+            targets = batch[:, t:].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        else:
+            imgs = batch[:, :t].astype(self.compute_dtype)
+            targets = batch[:, t:]
+        return imgs, targets
+
     def _apply(self, params, batch_stats, imgs, train, rngs=None):
         variables = {"params": params}
         kwargs = {"rngs": rngs} if (train and rngs is not None) else {}
@@ -260,8 +280,7 @@ class Trainer:
         rounding-level difference in a near-zero gradient flips a
         param by 2*lr — post-update params are the wrong place to
         assert grad-accumulation exactness."""
-        imgs = batch[:, : self.input_frames].astype(self.compute_dtype)
-        targets = batch[:, self.input_frames :]
+        imgs, targets = self._split_batch(batch)
         step_rng = jax.random.fold_in(self._base_rng, state.step)
 
         def loss_fn(params, batch_stats, imgs, targets, rngs):
@@ -334,8 +353,7 @@ class Trainer:
         return state, losses, gnorms
 
     def _eval_step_impl(self, state: TrainState, batch):
-        imgs = batch[:, : self.input_frames].astype(self.compute_dtype)
-        targets = batch[:, self.input_frames :]
+        imgs, targets = self._split_batch(batch)
         out, _ = self._apply(state.params, state.batch_stats, imgs, False)
         out = out.astype(jnp.float32)
         loss = self.preset.loss_fn(out, targets)
@@ -532,7 +550,12 @@ class Trainer:
                 losses.append(loss)
                 if collect:
                     preds.append(np.asarray(out)[:, :, 0])
-                    gts.append(np.asarray(batch[:, self.input_frames :, 0]))
+                    g = np.asarray(batch[:, self.input_frames :, 0])
+                    if np.issubdtype(g.dtype, np.integer):
+                        # uint8 wire format: bring gts back to [0, 1]
+                        # so metrics see the same scale as predictions
+                        g = g.astype(np.float32) / 255.0
+                    gts.append(g)
         total = float(np.sum(jax.device_get(losses))) if losses else 0.0
         if collect:
             if not preds:

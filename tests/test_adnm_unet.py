@@ -59,6 +59,31 @@ def test_forward_shape_small():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_attn_type_mla_wired():
+    """attn_type="mla" swaps the AttentionBlock mixer for DeepSeek-V2
+    MLA (present-but-unwired in the reference, models/MLA.py:108-307;
+    wired here behind a flag): forward shape + finiteness, MLA params
+    actually present, and a different mixer than standard."""
+    kw = dict(
+        channels=3, out_channels=4, kernel=(3, 3, 3), wt_levels=(1, 1, 1),
+        embed_dim=(8, 8, 8, 8, 8, 8), refine_dim=(8, 8, 8, 8),
+    )
+    model = ADNMUNet(attn_type="mla", **kw)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 3, 1, 32, 32))
+    variables = _jit_init(model, x)
+    enc_attn = variables["params"]["encoder"]["attn"]["attn_layer"]
+    assert "q_down_proj" in enc_attn and "kv_up_proj" in enc_attn
+    y = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    assert y.shape == (1, 4, 1, 32, 32)
+    assert np.isfinite(np.asarray(y)).all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="attn_type"):
+        bad = ADNMUNet(attn_type="nope", **kw)
+        _jit_init(bad, x)
+
+
 def test_refiner_remat_numerics_identity():
     """refiner_remat only changes WHERE the backward gets the refiner
     activations (recompute vs stored) — outputs and gradients must be

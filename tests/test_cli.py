@@ -73,6 +73,35 @@ class TestRefinerRematFlag:
             build(args, need_loaders=False)
 
 
+class TestAttnTypeFlag:
+    def test_parses_and_plumbs(self):
+        from adnm_tpu.models import create_model
+
+        args = _parse(["--model", "ADNMUnet", "--attn-type", "mla"])
+        assert args.attn_type == "mla"
+        assert _parse(["--model", "ADNMUnet"]).attn_type == "standard"
+        m = create_model("ADNMUnet", 5, 20, 6, attn_type="mla")
+        assert m.attn_type == "mla"
+
+    def test_build_guard_non_adnm(self):
+        from adnm_tpu.cli.common import build
+
+        args = _parse(["--model", "SmaATUnet", "--attn-type", "mla", "--synthetic"])
+        with pytest.raises(SystemExit, match="only supported for --model ADNMUnet"):
+            build(args, need_loaders=False)
+
+
+class TestTransferDtypeFlag:
+    def test_parses_and_plumbs_to_loaders(self):
+        args = _parse(["--model", "SmaATUnet", "--transfer-dtype", "uint8"])
+        assert args.transfer_dtype == "uint8"
+        assert _parse(["--model", "SmaATUnet"]).transfer_dtype == "float32"
+
+    def test_rejects_unknown(self):
+        with pytest.raises(SystemExit):
+            _parse(["--model", "SmaATUnet", "--transfer-dtype", "fp8"])
+
+
 class TestDispatchModeFlags:
     def test_train_parser_has_flags(self):
         from adnm_tpu.cli.train import make_parser

@@ -76,10 +76,10 @@ class TestConvs:
         np.testing.assert_allclose(np.asarray(y), yt.permute(0, 2, 3, 1).numpy(), atol=1e-4)
 
     def test_grouped_conv_stride_and_multiplier_matches_torch(self):
-        """The tap-sum grouped path (layers._grouped_conv_tapsum) across
-        its full contract: stride 2, SAME padding, a channel multiplier
-        (features = 2*cin, torch depthwise-multiplier), and a grouped
-        (1 < groups < cin) case — all against torch."""
+        """The grouped path (layers.grouped_conv: native fwd, custom-vjp
+        backward) across its full contract: stride 2, SAME padding, a
+        channel multiplier (features = 2*cin, torch depthwise-multiplier),
+        and a grouped (1 < groups < cin) case — all against torch."""
         torch = pytest.importorskip("torch")
         for groups, feats, stride, pad, tpad in (
             (8, 16, 2, 1, 1),            # depthwise, multiplier 2, stride 2
@@ -104,6 +104,44 @@ class TestConvs:
                 np.asarray(y), yt.permute(0, 2, 3, 1).numpy(), atol=1e-4,
                 err_msg=f"groups={groups} feats={feats} stride={stride} pad={pad}",
             )
+
+    def test_grouped_conv_custom_vjp_grads_match_tapsum(self):
+        """layers.grouped_conv (native XLA fwd + input grad, tap-einsum
+        weight grad — the r4 fast path) must match the all-tap-sum
+        lowering (the r1-r3 formulation, kept as oracle) in value AND in
+        both gradients, across stride / SAME / multiplier / grouped
+        variants."""
+        from adnm_tpu.core.layers import _grouped_conv_tapsum, grouped_conv
+
+        rng = np.random.default_rng(7)
+        for groups, cin, feats, stride, pad, k in (
+            (8, 8, 8, (1, 1), ((1, 1), (1, 1)), 3),    # depthwise 3x3
+            (8, 8, 8, (1, 1), "SAME", 5),              # depthwise 5x5 SAME (WTConv)
+            (8, 8, 16, (2, 2), ((1, 1), (1, 1)), 3),   # multiplier 2, stride 2
+            (4, 8, 8, (1, 1), ((0, 0), (1, 1)), (1, 3)),  # grouped I=2, 1x3
+        ):
+            kh, kw = (k, k) if isinstance(k, int) else k
+            x = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, cin)).astype(np.float32))
+            w = jnp.asarray(
+                rng.uniform(-1, 1, (kh, kw, cin // groups, feats)).astype(np.float32))
+
+            def loss_new(x, w):
+                return jnp.sum(jnp.square(grouped_conv(x, w, stride, pad, groups)))
+
+            def loss_ref(x, w):
+                return jnp.sum(jnp.square(_grouped_conv_tapsum(x, w, stride, pad, groups)))
+
+            msg = f"groups={groups} feats={feats} stride={stride} pad={pad} k={k}"
+            y_new = grouped_conv(x, w, stride, pad, groups)
+            y_ref = _grouped_conv_tapsum(x, w, stride, pad, groups)
+            np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref),
+                                       atol=1e-4, err_msg=msg)
+            gx_new, gw_new = jax.jit(jax.grad(loss_new, argnums=(0, 1)))(x, w)
+            gx_ref, gw_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(x, w)
+            np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
+                                       atol=1e-3, err_msg="dx " + msg)
+            np.testing.assert_allclose(np.asarray(gw_new), np.asarray(gw_ref),
+                                       atol=1e-3, err_msg="dW " + msg)
 
     def test_conv_transpose_matches_torch(self):
         torch = pytest.importorskip("torch")

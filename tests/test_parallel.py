@@ -1,5 +1,8 @@
 """Multi-device tests on the virtual 8-CPU mesh: DP training step and
-sequence-sharded SSD dual."""
+sequence-sharded SSD dual (the in-model GSPMD path — the shard_map
+duplicate, parallel/seq_shard.py, was removed in r4: the model's
+maybe_shard annotations are the one shipped mechanism, tested below at
+op level and at mixer level in TestSeqMinorUnderMesh)."""
 
 import jax
 import jax.numpy as jnp
@@ -8,7 +11,6 @@ import pytest
 
 from adnm_tpu.ops.ssd import linear_attn_dual
 from adnm_tpu.parallel import make_mesh
-from adnm_tpu.parallel.seq_shard import sharded_linear_attn_dual
 
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the virtual 8-device mesh"
@@ -16,32 +18,51 @@ pytestmark = pytest.mark.skipif(
 
 
 class TestSeqSharding:
-    def test_matches_unsharded(self):
-        mesh = make_mesh(8, axes=("data", "seq"), shape=(2, 4))
-        ks = jax.random.split(jax.random.PRNGKey(0), 5)
-        b, l, h, p, n = 2, 64, 4, 4, 8
+    """The duality with L sharded over 'seq' via GSPMD (constraint-in,
+    constraint-out — exactly what parallel.mesh.maybe_shard does inside
+    the mixers): output must equal the unsharded op."""
+
+    def _data(self, key, b, l, h, p, n):
+        ks = jax.random.split(jax.random.PRNGKey(key), 5)
         x = jax.random.normal(ks[0], (b, l, h, p))
         dt = jax.nn.softplus(jax.random.normal(ks[1], (b, l, h)))
         A = -jnp.exp(jax.random.uniform(ks[2], (h,)))
         B = jax.random.normal(ks[3], (b, l, n))
         C = jax.random.normal(ks[4], (b, l, n))
         D = jnp.ones((h,))
+        return x, dt, A, B, C, D
+
+    @staticmethod
+    def _sharded_dual(mesh, x, dt, A, B, C, D, batch_axis="data"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bspec = batch_axis if (batch_axis and batch_axis in mesh.axis_names) else None
+
+        @jax.jit
+        def f(x, dt, A, B, C, D):
+            con = jax.lax.with_sharding_constraint
+            x = con(x, NamedSharding(mesh, P(bspec, "seq", None, None)))
+            dt = con(dt, NamedSharding(mesh, P(bspec, "seq", None)))
+            B = con(B, NamedSharding(mesh, P(bspec, "seq", None)))
+            C = con(C, NamedSharding(mesh, P(bspec, "seq", None)))
+            y = linear_attn_dual(x, dt, A, B, C, D)
+            return con(y, NamedSharding(mesh, P(bspec, "seq", None, None)))
+
+        with jax.sharding.set_mesh(mesh):
+            return f(x, dt, A, B, C, D)
+
+    def test_matches_unsharded(self):
+        mesh = make_mesh(8, axes=("data", "seq"), shape=(2, 4))
+        x, dt, A, B, C, D = self._data(0, 2, 64, 4, 4, 8)
         y_ref = linear_attn_dual(x, dt, A, B, C, D)
-        y_sh = sharded_linear_attn_dual(mesh, x, dt, A, B, C, D)
+        y_sh = self._sharded_dual(mesh, x, dt, A, B, C, D)
         np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
 
     def test_seq_only_mesh(self):
         mesh = make_mesh(8, axes=("seq",))
-        ks = jax.random.split(jax.random.PRNGKey(1), 5)
-        b, l, h, p, n = 1, 32, 2, 4, 8
-        x = jax.random.normal(ks[0], (b, l, h, p))
-        dt = jax.nn.softplus(jax.random.normal(ks[1], (b, l, h)))
-        A = -jnp.exp(jax.random.uniform(ks[2], (h,)))
-        B = jax.random.normal(ks[3], (b, l, n))
-        C = jax.random.normal(ks[4], (b, l, n))
-        D = jnp.ones((h,))
+        x, dt, A, B, C, D = self._data(1, 1, 32, 2, 4, 8)
         y_ref = linear_attn_dual(x, dt, A, B, C, D)
-        y_sh = sharded_linear_attn_dual(mesh, x, dt, A, B, C, D, batch_axis=None)
+        y_sh = self._sharded_dual(mesh, x, dt, A, B, C, D, batch_axis=None)
         np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
 
 
@@ -318,14 +339,17 @@ class TestXlaGroupedConvGradDefect:
     training silently diverges). Dense convs are exact on <=2-axis
     meshes (TestXlaThreeAxisGradDefect).
 
-    Engineering rule: core.layers.Conv2d NEVER lowers groups>1 through
-    feature_group_count — it uses the tap-sum einsum formulation
-    (layers._grouped_conv_tapsum), whose backward is a plain dot-general
-    and is verified exact here under the same meshes.
+    Engineering rule: Conv2d's groups>1 WEIGHT gradient never comes from
+    XLA's autodiff of a feature_group_count conv — layers.grouped_conv
+    (custom_vjp) uses the fast native kernels for the forward and the
+    input gradient (activation cotangents are NOT affected by the
+    defect) and computes dW as a per-tap einsum, a plain dot-general
+    that is verified exact here under the same meshes. The all-tap-sum
+    lowering (_grouped_conv_tapsum) is kept as the oracle.
 
     If a jax upgrade fixes the lax path, test_lax_grouped_conv_grads_scaled
-    FAILS (ratio drops to 1.0): that is the signal to drop the tap-sum
-    gate (keep the formulation only if it still benches faster).
+    FAILS (ratio drops to 1.0): that is the signal to drop the custom
+    vjp (keep it only if the tap dW still benches faster).
     """
 
     B, H, W, C = 8, 8, 8, 16

@@ -129,6 +129,66 @@ class TestAccumSteps:
             t._train_step(t.state, batch, jnp.float32(1e-3), jnp.float32(0.025))
 
 
+class TestUint8Transfer:
+    """uint8 wire format (4x fewer host->HBM bytes; /255 on device —
+    data/loader.py transfer_dtype, train/loop.py _split_batch)."""
+
+    def test_loader_emits_rounded_uint8(self):
+        from adnm_tpu.data.loader import BatchLoader
+        from adnm_tpu.data.shanghai import ShanghaiDataset
+
+        ds = ShanghaiDataset(None, img_size=32, split="train",
+                             synthetic_len=8, seq_len=7)
+        ld = BatchLoader(ds, batch_size=2, transfer_dtype="uint8")
+        b = next(iter(ld))
+        assert b.dtype == np.uint8
+        f = np.stack([ds[0], ds[1]])[:, :, None]
+        np.testing.assert_array_equal(
+            b, np.clip(np.rint(f * 255.0), 0, 255).astype(np.uint8)
+        )
+
+    def test_rejects_bad_dtype(self):
+        from adnm_tpu.data.loader import BatchLoader
+
+        with pytest.raises(ValueError, match="transfer_dtype"):
+            BatchLoader([], 1, transfer_dtype="int16")
+
+    def test_step_matches_float_path_on_quantized_data(self):
+        """On data that IS exactly on the uint8 grid, the uint8 wire
+        format must reproduce the float32 path: same loss, same
+        gradients (the device does x * (1/255) in fp32, identical to
+        the host-side normalization up to one rounding)."""
+        (fbatch,) = _batches(1, 2)
+        q = np.clip(np.rint(fbatch * 255.0), 0, 255).astype(np.uint8)
+        f = q.astype(np.float32) * np.float32(1.0 / 255.0)
+        t = _tiny_trainer(seed=0)
+        loss_u, g_u, _ = jax.jit(t._grads_impl)(t.state, q)
+        loss_f, g_f, _ = jax.jit(t._grads_impl)(t.state, f)
+        np.testing.assert_allclose(float(loss_u), float(loss_f), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+            ),
+            g_u, g_f,
+        )
+
+    def test_train_epoch_scan_mode_and_eval_collect(self):
+        """End-to-end: uint8 batches through scan-mode train_epoch (the
+        grouped (k, B, ...) uint8 stack) and eval_epoch(collect=True) —
+        collected ground truths must come back normalized to [0, 1]."""
+        batches = _batches(3, 2)
+        u8 = [np.clip(np.rint(b * 255.0), 0, 255).astype(np.uint8) for b in batches]
+        t = _tiny_trainer(seed=0, scan_steps=2)
+        stats = t.train_epoch(list(u8), lr=1e-3, clip_norm=0.025)
+        assert np.isfinite(stats["loss"]) and stats["steps"] == 3
+        loss, preds, gts = t.eval_epoch(list(u8), collect=True)
+        assert np.isfinite(loss)
+        assert gts.dtype == np.float32 and gts.max() <= 1.0
+        np.testing.assert_allclose(
+            gts, np.concatenate([b[:, 5:, 0] for b in u8]).astype(np.float32) / 255.0
+        )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the virtual 8-device mesh")
 class TestScanStepsMesh:
     def test_scan_dp_zero1_matches_sequential(self):
