@@ -81,6 +81,11 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--pretrained-npz", default=None,
                    help="TransUnet only: ImageNet R50+ViT-B_16 .npz to initialize "
                         "the encoder (reference: TransUnet.py:718-765)")
+    p.add_argument("--compile-cache", default=os.environ.get("ADNM_COMPILE_CACHE", ".jax_cache"),
+                   help="persistent XLA compile-cache dir ('' disables). Repeat "
+                        "invocations skip the multi-minute model compile "
+                        "(utils/cache.py hardens writes against concurrent "
+                        "processes; the stock jax cache tears)")
 
 
 def task_shape(args):
@@ -118,6 +123,10 @@ def _parse_mesh(spec: str):
 
 
 def build(args, need_loaders=True):
+    if getattr(args, "compile_cache", None):
+        from adnm_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
     input_frames, output_frames, frame_interval, thresholds = task_shape(args)
     proc_shard = None
     if getattr(args, "coordinator", None) or getattr(args, "num_processes", None):

@@ -251,6 +251,25 @@ def _grouped_conv_native(x, kernel, strides, pads, groups):
     )
 
 
+def mesh_needs_exact_weight_grad() -> bool:
+    """True when the ACTIVE mesh can trigger XLA v0.9.0's grouped-conv
+    weight-grad scaling defect (CLAUDE.md defect #3): the partitioner
+    multiplies ``feature_group_count`` convs' weight grads by the
+    product of the mesh axes the operands are replicated over, on any
+    mesh with >= 2 non-trivial axes (measured 2x on ('data','seq')=(4,2)
+    and ('data','model')=(4,2), 4x on (2,4)). No-mesh and single-axis
+    meshes are exact (ratio 1.0, verified on the ('data',)=(8,) mesh and
+    pinned in tests/test_parallel.py::TestXlaGroupedConvGradDefect), so
+    single-chip/pure-DP training takes XLA's native fused weight-grad
+    conv instead of the ~kh*kw-pass tap-einsum workaround — the r4 step
+    breakdown showed the tap dW loop dominating the backward at the
+    flagship's ~524 grouped-conv sites."""
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or am.empty:
+        return False
+    return sum(1 for a in am.axis_names if am.shape[a] > 1) >= 2
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def grouped_conv(x, kernel, strides, pads, groups):
     """Grouped/depthwise NHWC conv: native XLA forward, mesh-exact backward.
@@ -357,16 +376,15 @@ class Conv2d(nn.Module):
             ph, pw = _to_pair(self.padding)
             pad = [(ph, ph), (pw, pw)]
         dtype = self.dtype or x.dtype
-        if self.groups > 1:
-            # Grouped/depthwise convs: native XLA forward + input grad,
-            # tap-einsum WEIGHT grad. XLA v0.9.0's SPMD partitioner
-            # scales grouped convs' weight gradients by the product of
-            # the mesh axes the operands are replicated over (silently —
-            # loss/activations stay correct), on ANY multi-axis mesh, so
-            # the weight grad alone bypasses it via plain dot-generals
-            # (gradient-exact under every mesh); everything else uses
-            # the fast fused feature_group_count kernels. Defect matrix
-            # + fixed-upstream tripwire:
+        if self.groups > 1 and mesh_needs_exact_weight_grad():
+            # Multi-axis mesh: XLA v0.9.0's SPMD partitioner scales
+            # grouped convs' weight gradients by the product of the mesh
+            # axes the operands are replicated over (silently — loss and
+            # activations stay correct), so the weight grad alone
+            # bypasses it via plain dot-generals (gradient-exact under
+            # every mesh); the forward and input grad keep the fast
+            # fused feature_group_count kernels. Defect matrix +
+            # fixed-upstream tripwire:
             # tests/test_parallel.py::TestXlaGroupedConvGradDefect.
             pad_t = pad if pad == "SAME" else tuple(pad)
             y = grouped_conv(

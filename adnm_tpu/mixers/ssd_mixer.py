@@ -202,9 +202,9 @@ class ADNSSDMixer(nn.Module):
             else:
                 if reverse:
                     xx, dd, BB, CC = (jnp.flip(t, axis=1) for t in (xx, dd, BB, CC))
-                # XLA chunked scan: measured 2.5-3.1x FASTER than a Pallas
-                # VMEM-carry kernel at the refiner shape on v5e (see
-                # README "kernel A/B"); the hand kernel was deleted.
+                # XLA chunked scan (a Pallas VMEM-carry kernel was
+                # A/B'd against it at the refiner shapes and cut; r5
+                # honest re-A/B in README "Kernel A/B").
                 y = ssd_chunked_scan(xx, dd, AA, BB, CC, DD, self.chunk_size)
                 if reverse:
                     y = jnp.flip(y, axis=1)

@@ -34,8 +34,9 @@ def create_model(
     **model_kwargs,
 ) -> nn.Module:
     """``model_kwargs`` are forwarded to the ADNMUnet factory (e.g.
-    ``refiner_remat=False`` — measured ~14% faster train step at batch
-    <= 8 on 16G v5e; the default True fits larger batches)."""
+    ``refiner_remat=False`` skips the backward's recompute of the four
+    full-resolution refiner mixers at an HBM cost; the default True
+    fits larger batches — bench.py A/Bs both)."""
     if model_name == "ADNMUnet":
         from adnm_tpu.models.adnm_unet import create_adnm_unet
 

@@ -77,20 +77,25 @@ A100_BF16_PEAK = 312e12  # NVIDIA A100 dense bf16, FLOP/s (published spec)
 A100_ASSUMED_MFU = 0.35  # assumed for the torch reference (see module docstring)
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak, FLOP/s (published spec)
 
-# (batch, remat, scan_steps, wire): reference protocol first, then probe
-# upward — larger batches are skipped gracefully if they OOM. The
-# refiner's seq-minor duality layout (ops/ssd.py linear_attn_dual_
-# seqminor) keeps the (B, small, 65536) tensors unpadded in HBM, lifting
-# the old batch-12 OOM ceiling caused by 8x lane padding of the
-# token-minor (B, 65536, 16) backward temporaries; batch 16 OOMs 16G and
-# stays in the list as the tripwire for larger-HBM parts. scan_steps=k
-# dispatches k steps per device call (Trainer scan mode): under honest
-# timing it saves only the ~3 ms per-call overhead, so one scan config
-# is kept to measure that honestly (wire="uint8" quarters the
-# (k, B, ...) stack's HBM so k=8 fits at batch 14).
+# (batch, remat, scan_steps, wire, refiner_remat): reference protocol
+# first, then probe upward — larger batches are skipped gracefully if
+# they OOM, and every skipped config is recorded in the JSON's "failed"
+# list (an r4 bench regression shipped silently because failures went
+# to stderr only). The refiner's seq-minor duality layout (ops/ssd.py
+# linear_attn_dual_seqminor) keeps the (B, small, 65536) tensors
+# unpadded in HBM; batch 16 OOMs 16G and stays in the list as the
+# tripwire for larger-HBM parts. refiner_remat=False skips the
+# backward's recompute of the four full-resolution refiner mixers
+# (models/adnm_unet.py Refiner) at the cost of storing their
+# activations — the honest-timing A/B the r4 verdict asked for.
+# scan_steps=k dispatches k steps per device call (Trainer scan mode):
+# under honest timing it saves only the ~3 ms per-call overhead, so one
+# scan config is kept to measure that honestly (wire="uint8" quarters
+# the (k, B, ...) stack's HBM so k=8 fits at batch 14).
 CONFIGS = (
     dict(batch=4),
-    dict(batch=8),
+    dict(batch=4, refiner_remat=False),
+    dict(batch=8, refiner_remat=False),
     dict(batch=14),
     dict(batch=16),  # OOM tripwire on 16G v5e
     dict(batch=14, scan=8, wire="uint8"),
@@ -108,13 +113,14 @@ def _quantize(batch: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(batch * 255.0), 0, 255).astype(np.uint8)
 
 
-def _make_trainer(remat: bool = False, scan_steps: int = 1):
+def _make_trainer(remat: bool = False, scan_steps: int = 1,
+                  refiner_remat: bool = True):
     import jax.numpy as jnp
 
     from adnm_tpu.models import create_model
     from adnm_tpu.train import Trainer, get_preset
 
-    model = create_model("ADNMUnet", T_IN, T_OUT, 6)
+    model = create_model("ADNMUnet", T_IN, T_OUT, 6, refiner_remat=refiner_remat)
     preset = get_preset("ADNMUnet", T_IN, T_OUT, 6, "Shanghai")
     return Trainer(
         model, preset, T_IN, T_OUT, img_size=IMG,
@@ -123,10 +129,10 @@ def _make_trainer(remat: bool = False, scan_steps: int = 1):
 
 
 def _measure(batch_size: int, remat: bool = False, scan_steps: int = 1,
-             wire: str = "float32"):
+             wire: str = "float32", refiner_remat: bool = True):
     import jax.numpy as jnp
 
-    trainer = _make_trainer(remat, scan_steps)
+    trainer = _make_trainer(remat, scan_steps, refiner_remat)
     rng = np.random.default_rng(0)
     host = rng.uniform(0, 1, (batch_size, T_IN + T_OUT, 1, IMG, IMG)).astype(np.float32)
     if wire == "uint8":
@@ -135,7 +141,8 @@ def _measure(batch_size: int, remat: bool = False, scan_steps: int = 1,
     lr = jnp.float32(1e-3)
     clip = jnp.float32(0.025)
     try:
-        return _measure_inner(trainer, batch, batch_size, remat, wire, lr, clip)
+        return _measure_inner(trainer, batch, batch_size, remat, wire, lr, clip,
+                              refiner_remat)
     finally:
         # free this config's params/opt/compiled-step HBM before the next
         # one EVEN IF it failed (e.g. the batch-16 OOM tripwire) — the
@@ -147,7 +154,8 @@ def _measure(batch_size: int, remat: bool = False, scan_steps: int = 1,
         gc.collect()
 
 
-def _measure_inner(trainer, batch, batch_size, remat, wire, lr, clip):
+def _measure_inner(trainer, batch, batch_size, remat, wire, lr, clip,
+                   refiner_remat=True):
     import jax
     import jax.numpy as jnp
 
@@ -221,6 +229,7 @@ def _measure_inner(trainer, batch, batch_size, remat, wire, lr, clip):
     return {
         "batch": batch_size,
         "remat": remat,
+        "refiner_remat": refiner_remat,
         "scan": k,
         "wire": wire,
         "train_step_s": train_step_s,
@@ -245,7 +254,11 @@ def _true_flops_per_frame():
     from adnm_tpu.utils.profiling import analytic_flops
 
     try:
-        trainer = _make_trainer()
+        # refiner_remat=False: the analytic count is the ALGORITHMIC
+        # (useful) flops — remat recompute is charged to our wall-clock
+        # only, never to the flop numerator or the A100 denominator
+        # (the standard MFU convention).
+        trainer = _make_trainer(refiner_remat=False)
         rng = np.random.default_rng(0)
         batch = jnp.asarray(
             rng.uniform(0, 1, (4, T_IN + T_OUT, 1, IMG, IMG)).astype(np.float32)
@@ -376,19 +389,27 @@ def main():
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     enable_compile_cache(cache)
 
-    runs = []
+    runs, failed = [], []
     for cfg in CONFIGS:
         b = cfg["batch"]
         remat = cfg.get("remat", False)
         scan = cfg.get("scan", 1)
         wire = cfg.get("wire", "float32")
+        rr = cfg.get("refiner_remat", True)
         try:
-            runs.append(_measure(b, remat, scan, wire))
+            runs.append(_measure(b, remat, scan, wire, rr))
         except Exception as e:  # e.g. HBM OOM on a smaller accelerator
             import sys
 
-            print(f"# batch {b} (remat={remat}, scan={scan}, wire={wire}) "
-                  f"failed: {type(e).__name__}", file=sys.stderr, flush=True)
+            # record in the JSON too — an r4 regression (batch-14 OOM)
+            # shipped unnoticed because failures only went to stderr
+            failed.append({
+                "config": dict(cfg),
+                "exception": f"{type(e).__name__}: {str(e)[:300]}",
+            })
+            print(f"# batch {b} (remat={remat}, scan={scan}, wire={wire}, "
+                  f"refiner_remat={rr}) failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
             # the traceback held the failed Trainer through _measure's
             # finally; collect again now that it's dropped so the dead
             # config's HBM can't bleed into the next one
@@ -407,6 +428,7 @@ def main():
             "metric": "nowcast frames/sec/chip (train + rollout)",
             "value": None, "unit": "frames/s/chip", "vs_baseline": None,
             "error": "all benchmark configs failed (see stderr)",
+            "failed": failed,
         }))
         return
 
@@ -465,6 +487,7 @@ def main():
         return {
             "batch": r["batch"],
             "remat": r["remat"],
+            "refiner_remat": r.get("refiner_remat", True),
             "scan_steps": r.get("scan", 1),
             "wire": r.get("wire", "float32"),
             "timing_suspect": suspect(r),
@@ -498,6 +521,7 @@ def main():
         "detail": {
             "headline_batch": best["batch"],
             "headline_remat": best["remat"],
+            "headline_refiner_remat": best.get("refiner_remat", True),
             "headline_scan_steps": best.get("scan", 1),
             "headline_wire": best.get("wire", "float32"),
             "timing_protocol": "chained donated-state steps; every timed "
@@ -510,6 +534,9 @@ def main():
             "img": IMG,
             "dtype": "bfloat16 compute, fp32 params",
             "per_batch": [per_batch_detail(r) for r in runs],
+            # every config either appears in per_batch or here — a
+            # lost config can never ship silently (r4 lesson)
+            "failed": failed,
             "end_to_end": e2e,
             "flop_accounting": {
                 # TRUE = analytic jaxpr count, grouped convs priced

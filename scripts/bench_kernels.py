@@ -8,28 +8,23 @@ reference: models/ADNMUNet.py:639-717, ADNssd.py:414-440):
      and forward+backward;
   2. the (gated) RMSNorm formulations XLA fuses inside Block/mixer.
 
-Timing methodology: the axon tunnel adds ~26 ms per dispatch, so each
-op is chained K times inside one jit (lax.fori_loop) and the per-op
-time is chained/K.
+Timing methodology (r5, honest): each op is chained K times inside one
+jit (lax.fori_loop) that returns a SCALAR reduced from the final carry;
+a trial times several such calls and then fetches every call's scalar
+to host (np.asarray) — a value fetch cannot complete before the compute
+that produces it, so dispatch-only readings are impossible (the r1-r4
+``block_until_ready`` readings on this tunnel-attached chip were
+dispatch artifacts; see bench.py docstring). Per-op time =
+trial_time / (n_calls * K); the scalar-fetch cost (~3 ms/trial) is
+amortized over n_calls*K ops and charged to the measurement.
 
-History — "earn it or cut it" A/B (2026-08-16, v5e-1, fp32): handwritten
-Pallas equivalents (VMEM-carry chunked scan; row-block fused norms) were
-benchmarked against these XLA paths at the shapes above and LOST across
-the board, so they were deleted (commit "Cut the Pallas kernels"):
-
-    ssd scan fwd        XLA 2.50 ms   Pallas 7.82 ms   (3.1x)
-    ssd scan fwd+bwd    XLA 4.59 ms   Pallas 11.28 ms  (2.5x)
-    rmsnorm d32         XLA 0.28 ms   Pallas 1.25 ms   (4.4x)  262k rows
-    gated rmsnorm d32   XLA 0.28 ms   Pallas 1.39 ms   (4.9x)
-    rmsnorm d64         XLA 0.29 ms   Pallas 1.25 ms   (4.3x)
-    gated rmsnorm d64   XLA 0.44 ms   Pallas 1.39 ms   (3.2x)
-
-These ops are bandwidth-bound elementwise/reduce chains and small-lane
-matmul scans — exactly what XLA already fuses and pipelines well; the
-Pallas row-block kernels paid grid-iteration overhead with nothing to
-fuse beyond what XLA does. (Numerics agreed: norms to ~1e-6 abs; scan to
-~5e-3 rel at default precision, the XLA bf16-MXU pass artifact, 8e-6 at
-matched HIGHEST precision.)
+History: an earlier "earn it or cut it" A/B (2026-08-16, v5e-1, fp32)
+deleted handwritten Pallas equivalents (VMEM-carry chunked scan;
+row-block fused norms) based on a table measured with bare
+``block_until_ready`` — timing later shown to be dispatch-bound and
+invalid (bench.py r4 post-mortem). The r5 re-A/B with THIS protocol is
+recorded in README's kernel table; the XLA paths remain the shipped
+implementations.
 
 Run: python scripts/bench_kernels.py [--quick]
 Prints one JSON line per measurement.
@@ -46,38 +41,41 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, iters=8, warmup=2):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(min(times)), float(sorted(times)[len(times) // 2])
-
-
 def chain(fn, K):
-    """Amortize the host<->device dispatch latency (the axon tunnel adds
-    ~26 ms per call) by chaining K dependent applications of ``fn`` inside
-    one jit: per-op time = chained_time / K. ``fn(carry, *rest)`` must
-    return an array of carry's shape."""
+    """Amortize the host<->device dispatch latency by chaining K
+    dependent applications of ``fn`` inside one jit, returning a SCALAR
+    reduced from the final carry — so a host fetch of the result forces
+    the whole chain to have executed. ``fn(carry, *rest)`` must return
+    an array of carry's shape."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def run(carry, *rest):
-        return jax.lax.fori_loop(0, K, lambda i, c: fn(c, *rest), carry)
+        out = jax.lax.fori_loop(0, K, lambda i, c: fn(c, *rest), carry)
+        return jnp.sum(out.astype(jnp.float32))
 
     return run
 
 
-def timeit_chained(fn, *args, K=50, iters=8, warmup=2):
-    best, med = timeit(chain(fn, K), *args, iters=iters, warmup=warmup)
-    return best / K, med / K
+def timeit_chained(fn, *args, K=50, iters=8, warmup=2, n_calls=4):
+    """Best/median per-op seconds over ``iters`` trials; each trial runs
+    ``n_calls`` chained-K jit calls and fetches ALL their scalars
+    (np.asarray) inside the timed region — the forced-materialization
+    protocol (bench.py r4 post-mortem)."""
+    import numpy as np
+
+    jfn = chain(fn, K)
+    for _ in range(warmup):
+        v = float(jfn(*args))  # compile + forced completion
+    assert np.isfinite(v), v
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        outs = [jfn(*args) for _ in range(n_calls)]
+        np.asarray([float(o) for o in outs])  # forces every call
+        times.append((time.perf_counter() - t0) / (n_calls * K))
+    return float(min(times)), float(sorted(times)[len(times) // 2])
 
 
 def main():

@@ -17,9 +17,15 @@ from __future__ import annotations
 
 import argparse
 import gc
+import os
+import sys
 import time
 
 import numpy as np
+
+# Runnable as `python scripts/step_breakdown.py` from the repo root:
+# sys.path[0] is scripts/, so the adnm_tpu package needs the parent dir.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _fetch_scalar(tree):
