@@ -10,10 +10,11 @@ Reference: models/ADNssd.py:49-462 (Mamba2). Per token grid
      fixed channel permutation absorbable into the adjacent weight
      matrices, so this implementation lays the two paths out as
      CONTIGUOUS halves (path1 == "even", path2 == "odd") and re-creates
-     the reference's within-path2 re-interleave as a pure stack+reshape
-     (no gathers/scatters). The full mixer is exactly
-     permutation-equivalent to the reference graph: every scan head sees
-     the same conv-flavor channel composition as the reference's.
+     the reference's within-path2 re-interleave as a pure permutation
+     (no gathers on the hot path — see layouts below). The full mixer is
+     exactly permutation-equivalent to the reference graph: every scan
+     head sees the same conv-flavor channel composition as the
+     reference's.
   3. path1: depthwise 3x3 conv + SiLU (ADNssd.py:177-185,334).
      path2: two sub-chunks, each with asymmetric separable depthwise
      convs (1x3 o 3x1 vs 3x1 o 1x3, separate kernels for the x and BC
@@ -27,18 +28,42 @@ Reference: models/ADNssd.py:49-462 (Mamba2). Per token grid
   6. LayerNorm(y), concat (alpha1*y | alpha1*z) — alpha1 used twice,
      alpha2 unused, quirk preserved (ADNssd.py:245-246,459) —
      then out_proj (ADNssd.py:248,456-461).
+
+TWO execution layouts over ONE parameter tree (r5):
+
+  * token-minor (NHWC / (B, L, C)) — the natural conv layout; used for
+    small grids (L < seq_minor_min_l), where XLA's 128-wide lane tile
+    is amortized by larger channel counts upstream anyway.
+  * channel-major ((B, C, L) == (B, C, H, W)) — used at the refiner's
+    L = 65,536 with d_model = 32: in token-minor, EVERY intermediate of
+    this mixer (d=32 in/out, 16-channel conv chunks, 8-channel BC
+    chunks, (…, q, 2) interleave stacks) lane-pads 2-64x, and the r4
+    bench measured the train step at ~10x its logical bytes — the step
+    is bandwidth-bound on padding. Channel-major keeps L in the lane
+    dimension for every tensor (nothing pads), the depthwise convs
+    become shift-and-MAC taps that XLA fuses into single passes, the
+    duality runs the seq-minor form (two clean rank-3 matmuls), and the
+    reference's channel interleaves become static row permutations of
+    second-minor axes (free). Outputs are bit-equal to the token-minor
+    path up to matmul accumulation order (tested:
+    tests/test_mixer.py::test_channel_major_layout_matches_token_minor).
+
+Parameters are created by explicit holders (`_Kernel`, `_LNParams`)
+with the SAME names, shapes, and init distributions as the Dense /
+Conv2d / LayerNorm submodules of rounds 1-4, so checkpoints, importers
+(train/adnm_import.py), and goldens are unaffected.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from adnm_tpu.core.layers import Conv2d, Dense, scalar_param
+from adnm_tpu.core.layers import scalar_param
 from adnm_tpu.ops.ssd import (
     linear_attn_dual,
     linear_attn_dual_seqminor,
@@ -59,6 +84,73 @@ def _a_log_init(key, nheads, a_min=1.0, a_max=16.0):
     return jnp.log(jax.random.uniform(key, (nheads,), minval=a_min, maxval=a_max))
 
 
+class _Kernel(nn.Module):
+    """Raw kernel/bias holder with torch-default init — creates exactly
+    the params a Dense (`shape` rank 2) or Conv2d (`shape` rank 4, HWIO)
+    submodule of the same name would, so the tree is unchanged."""
+
+    shape: Tuple[int, ...]
+    fan_in: int
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        fan_in = self.fan_in
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            a = math.sqrt(5.0)
+            gain = math.sqrt(2.0 / (1 + a * a))
+            kb = math.sqrt(3.0) * gain / math.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -kb, kb)
+
+        k = self.param("kernel", kernel_init, self.shape, jnp.float32)
+        if not self.bias:
+            return k, None
+        bound = 1.0 / math.sqrt(fan_in)
+        b = self.param(
+            "bias",
+            lambda key, shape, dt=jnp.float32: jax.random.uniform(key, shape, dt, -bound, bound),
+            (self.shape[-1],),
+            jnp.float32,
+        )
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """LayerNorm scale/bias params (matches nn.LayerNorm's tree)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32),
+        )
+
+
+def _dw_taps_cl(x, kernel, bias=None):
+    """Depthwise conv in channel-major layout: x (B, C, H, W), kernel
+    (kh, kw, 1, C) HWIO, SAME padding. Lowered as kh*kw shifted
+    multiply-adds — all slices of one padded tensor, fused by XLA into
+    a single pass; plain elementwise ops, so gradients are mesh-exact
+    under every SPMD mesh (no feature_group_count involved —
+    CLAUDE.md defect #3 cannot apply)."""
+    kh, kw, _, c = kernel.shape
+    b, cc, h, w = x.shape
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+    y = None
+    for dy in range(kh):
+        for dx in range(kw):
+            t = jax.lax.slice(xp, (0, 0, dy, dx), (b, cc, dy + h, dx + w))
+            t = t * kernel[dy, dx, 0][None, :, None, None]
+            y = t if y is None else y + t
+    if bias is not None:
+        y = y + bias[None, :, None, None]
+    return y
+
+
 class ADNSSDMixer(nn.Module):
     """Input/output: (B, H, W, d_model) spatial grids (sequence form is a
     free reshape in NHWC)."""
@@ -76,116 +168,166 @@ class ADNSSDMixer(nn.Module):
     conv_bias: bool = False
     bias: bool = False
     dtype: Optional[jnp.dtype] = None
-    # Use the sequence-minor duality layout once L reaches this size
-    # (ops/ssd.py linear_attn_dual_seqminor: avoids 8-32x lane-padding
-    # of the (B, L, small) tensors in HBM at the refiner's L=65536;
-    # below it the transposes aren't worth it and L itself would pad).
+    # Use the channel-major layout once L reaches this size (docstring);
+    # below it the in/out transposes aren't worth it and L itself would
+    # lane-pad in the seq-minor duality.
     seq_minor_min_l: int = 16384
+
+    def _params(self, d, d_inner, gN, nheads):
+        """All parameters, created with the round 1-4 names/shapes/inits
+        regardless of which execution layout runs."""
+        conv_dim = d_inner + 2 * gN
+        half = conv_dim // 2
+        qx = d_inner // 4
+        qbc = gN // 2
+        d_in_proj = 2 * d_inner + 2 * gN + nheads
+        dc = self.d_conv
+        p = {}
+        p["in_proj"] = _Kernel((d, d_in_proj), d, bias=self.bias, name="in_proj")()
+        p["dt_bias"] = self.param("dt_bias", lambda k: _dt_bias_init(k, nheads))
+        p["A_log"] = self.param("A_log", lambda k: _a_log_init(k, nheads))
+        p["D"] = self.param("D", nn.initializers.ones, (nheads,), jnp.float32)
+        p["conv2d"] = _Kernel((dc, dc, 1, half), dc * dc, bias=self.conv_bias, name="conv2d")()
+        for name, c, k1, k2 in (
+            ("conv_x1", qx, (3, 1), (1, 3)),
+            ("conv_x2", qx, (1, 3), (3, 1)),
+            ("conv_bc1", qbc, (1, 3), (3, 1)),
+            ("conv_bc2", qbc, (3, 1), (1, 3)),
+        ):
+            p[f"{name}_a"] = _Kernel((*k1, 1, c), k1[0] * k1[1],
+                                     bias=self.conv_bias, name=f"{name}_a")()
+            p[f"{name}_b"] = _Kernel((*k2, 1, c), k2[0] * k2[1],
+                                     bias=self.conv_bias, name=f"{name}_b")()
+        p["conv2d_z"] = _Kernel((dc, dc, 1, d_inner), dc * dc,
+                                bias=self.conv_bias, name="conv2d_z")()
+        p["norm"] = _LNParams(d_inner, name="norm")()
+        p["alpha1"] = scalar_param(self, "alpha1", 1.0)
+        scalar_param(self, "alpha2", 1.0)  # exists but unused (ADNssd.py:459)
+        p["out_proj"] = _Kernel((2 * d_inner, d), 2 * d_inner,
+                                bias=self.bias, name="out_proj")()
+        return p
 
     @nn.compact
     def __call__(self, u: jax.Array) -> jax.Array:
         b, h, w, d = u.shape
+        assert d == self.d_model
         d_inner = self.expand * self.d_model
         nheads = d_inner // self.headdim
         assert d_inner % self.headdim == 0 and nheads % 2 == 0
         gN = self.ngroups * self.d_state  # total B (== C) channels
-        conv_dim = d_inner + 2 * gN
-        d_in_proj = 2 * d_inner + 2 * gN + nheads
+        l = h * w
+        p = self._params(d, d_inner, gN, nheads)
+        if self.linear_attn_duality and l >= self.seq_minor_min_l:
+            return self._apply_channel_major(p, u)
+        return self._apply_token_minor(p, u)
 
-        zxbcdt = Dense(d_in_proj, use_bias=self.bias, dtype=self.dtype, name="in_proj")(u)
-        z, xBC, dt = jnp.split(zxbcdt, [d_inner, 2 * d_inner + 2 * gN], axis=-1)
+    # ---- shared small helpers ----------------------------------------
 
-        dt_bias = self.param("dt_bias", lambda k: _dt_bias_init(k, nheads))
-        dt = jax.nn.softplus(dt + dt_bias)  # (B, H, W, nheads)
-        A_log = self.param("A_log", lambda k: _a_log_init(k, nheads))
-        A = -jnp.exp(A_log)
-        D = self.param("D", nn.initializers.ones, (nheads,), jnp.float32)
+    def _dims(self):
+        d_inner = self.expand * self.d_model
+        gN = self.ngroups * self.d_state
+        nheads = d_inner // self.headdim
+        return d_inner, gN, nheads, d_inner + 2 * gN
 
-        # --- dual path (contiguous halves; see module docstring) -------
-        half = conv_dim // 2  # = d_inner//2 + gN
-        xBC1, xBC2 = xBC[..., :half], xBC[..., half:]
+    def _ln(self, p_norm, y):
+        """LayerNorm over the last axis, torch eps (ADNssd.py:226,456)."""
+        scale, bias = p_norm
+        yf = y.astype(jnp.float32)
+        mu = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.var(yf, axis=-1, keepdims=True)
+        out = (yf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+        return out.astype(y.dtype)
 
-        # path1: depthwise d_conv x d_conv + SiLU
-        pad = (self.d_conv - 1) // 2
-        xBC1 = jax.nn.silu(
-            Conv2d(half, self.d_conv, 1, pad, groups=half, use_bias=self.conv_bias,
-                   dtype=self.dtype, name="conv2d")(xBC1)
-        )
+    # ---- token-minor layout (small grids) ----------------------------
 
-        # path2: two sub-chunks with asymmetric separable depthwise convs.
-        # Sub-chunk layout: [x2a | x2b | bc2a | bc2b] with x halves of
-        # d_inner//4 and bc halves of gN//2 each.
+    def _apply_token_minor(self, p, u):
+        b, h, w, d = u.shape
+        d_inner, gN, nheads, conv_dim = self._dims()
+        half = conv_dim // 2
         qx = d_inner // 4
         qbc = gN // 2
+        hh = nheads // 2
+        dtype = self.dtype or u.dtype
+        l = h * w
+
+        def dense(px, x):
+            k, bias = px
+            y = jnp.dot(x.astype(dtype), k.astype(dtype), preferred_element_type=dtype)
+            return y + bias.astype(dtype) if bias is not None else y
+
+        def dw(px, x):
+            # same mesh-aware weight-grad gate as core.layers.Conv2d
+            # (XLA multi-axis-mesh grouped-conv defect, CLAUDE.md #3)
+            from adnm_tpu.core.layers import (
+                _grouped_conv_native,
+                _resolve_pads,
+                grouped_conv,
+                mesh_needs_exact_weight_grad,
+            )
+
+            k, bias = px
+            k = k.astype(dtype)
+            xx = x.astype(dtype)
+            if mesh_needs_exact_weight_grad():
+                y = grouped_conv(xx, k, (1, 1), "SAME", k.shape[-1])
+            else:
+                pads, _, _ = _resolve_pads(xx.shape, k.shape, (1, 1), "SAME")
+                y = _grouped_conv_native(xx, k, (1, 1), pads, k.shape[-1])
+            return y + bias.astype(dtype) if bias is not None else y
+
+        zxbcdt = dense(p["in_proj"], u)
+        z, xBC, dt = jnp.split(zxbcdt, [d_inner, 2 * d_inner + 2 * gN], axis=-1)
+        dt = jax.nn.softplus(dt + p["dt_bias"])  # (B, H, W, nheads)
+        A = -jnp.exp(p["A_log"])
+        D = p["D"]
+
+        # --- dual path (contiguous halves; see module docstring) -------
+        xBC1, xBC2 = xBC[..., :half], xBC[..., half:]
+        xBC1 = jax.nn.silu(dw(p["conv2d"], xBC1))
+
         x2a = xBC2[..., :qx]
-        x2b = xBC2[..., qx : 2 * qx]
-        bc2a = xBC2[..., 2 * qx : 2 * qx + qbc]
-        bc2b = xBC2[..., 2 * qx + qbc :]
+        x2b = xBC2[..., qx: 2 * qx]
+        bc2a = xBC2[..., 2 * qx: 2 * qx + qbc]
+        bc2b = xBC2[..., 2 * qx + qbc:]
 
-        def sep(xx, c, k1, k2, name):
+        def sep(xx, a_name, b_name):
             # k1 then k2 (torch composes conv_13(conv_31(x)) etc.)
-            xx = Conv2d(c, k1, 1, (k1[0] // 2, k1[1] // 2), groups=c,
-                        use_bias=self.conv_bias, dtype=self.dtype, name=f"{name}_a")(xx)
-            xx = Conv2d(c, k2, 1, (k2[0] // 2, k2[1] // 2), groups=c,
-                        use_bias=self.conv_bias, dtype=self.dtype, name=f"{name}_b")(xx)
-            return jax.nn.silu(xx)
+            return jax.nn.silu(dw(p[b_name], dw(p[a_name], xx)))
 
-        x2a = sep(x2a, qx, (3, 1), (1, 3), "conv_x1")   # conv_13_x1(conv_31_x1(.))
-        x2b = sep(x2b, qx, (1, 3), (3, 1), "conv_x2")   # conv_31_x2(conv_13_x2(.))
-        bc2a = sep(bc2a, qbc, (1, 3), (3, 1), "conv_bc1")  # conv_31_bc1(conv_13_bc1(.))
-        bc2b = sep(bc2b, qbc, (3, 1), (1, 3), "conv_bc2")  # conv_13_bc2(conv_31_bc2(.))
+        x2a = sep(x2a, "conv_x1_a", "conv_x1_b")   # conv_13_x1(conv_31_x1(.))
+        x2b = sep(x2b, "conv_x2_a", "conv_x2_b")   # conv_31_x2(conv_13_x2(.))
+        bc2a = sep(bc2a, "conv_bc1_a", "conv_bc1_b")  # conv_31_bc1(conv_13_bc1(.))
+        bc2b = sep(bc2b, "conv_bc2_a", "conv_bc2_b")  # conv_13_bc2(conv_31_bc2(.))
 
         # Re-assemble path2 with the reference's channel interleave
         # (odd_part[:, ::2] = xbc_oe, [:, 1::2] = xbc_oo, ADNssd.py:354-364)
         # as a pure stack+reshape — each scan head mixes both asymmetric-
         # conv flavors exactly as in the reference, so the whole mixer is
         # permutation-equivalent to the reference graph.
-        def interleave(a, b):
-            return jnp.stack([a, b], axis=-1).reshape(*a.shape[:-1], a.shape[-1] * 2)
+        def interleave(a, bb):
+            return jnp.stack([a, bb], axis=-1).reshape(*a.shape[:-1], a.shape[-1] * 2)
 
         x1 = xBC1[..., : d_inner // 2]
-        B1 = xBC1[..., d_inner // 2 : d_inner // 2 + gN // 2]
-        C1 = xBC1[..., d_inner // 2 + gN // 2 :]
+        B1 = xBC1[..., d_inner // 2: d_inner // 2 + gN // 2]
+        C1 = xBC1[..., d_inner // 2 + gN // 2:]
         x2 = interleave(x2a, x2b)
         B2 = interleave(bc2a[..., : qbc // 2], bc2b[..., : qbc // 2])
-        C2 = interleave(bc2a[..., qbc // 2 :], bc2b[..., qbc // 2 :])
+        C2 = interleave(bc2a[..., qbc // 2:], bc2b[..., qbc // 2:])
 
         # dt / A / D head-halves
-        hh = nheads // 2
         dt1, dt2 = dt[..., :hh], dt[..., hh:]
         A1, A2 = A[:hh], A[hh:]
         D1, D2 = D[:hh], D[hh:]
 
         # z gate conv
-        z = jax.nn.silu(
-            Conv2d(d_inner, self.d_conv, 1, pad, groups=d_inner,
-                   use_bias=self.conv_bias, dtype=self.dtype, name="conv2d_z")(z)
-        )
+        z = jax.nn.silu(dw(p["conv2d_z"], z))
 
         # --- scans (sequence form: free reshape) ------------------------
-        l = h * w
-
         def to_seq(t):
             return t.reshape(b, l, *t.shape[3:])
 
         def scan(xx, dd, AA, BB, CC, DD, reverse: bool):
             from adnm_tpu.parallel.mesh import maybe_shard
-
-            if self.linear_attn_duality and l >= self.seq_minor_min_l:
-                # Sequence-minor layout for the huge-L refiner mixers:
-                # one transpose in/out keeps every (L x small) duality
-                # tensor unpadded in HBM (see linear_attn_dual_seqminor).
-                def to_seq_t(t):  # (B, H, W, C) -> (B, C, L)
-                    return jnp.moveaxis(t, -1, 1).reshape(b, t.shape[-1], l)
-
-                xx = to_seq_t(xx).reshape(b, hh, self.headdim, l)
-                dd, BB, CC = to_seq_t(dd), to_seq_t(BB), to_seq_t(CC)
-                xx = maybe_shard(xx, "data", "model", None, "seq")
-                dd = maybe_shard(dd, "data", "model", "seq")
-                y = linear_attn_dual_seqminor(
-                    xx, dd, AA, BB, CC, DD, self.ssd_positive_dA
-                )
-                return jnp.moveaxis(y.reshape(b, hh * self.headdim, l), 1, -1)
 
             xx = to_seq(xx).reshape(b, l, hh, self.headdim)
             dd, BB, CC = to_seq(dd), to_seq(BB), to_seq(CC)
@@ -217,11 +359,133 @@ class ADNSSDMixer(nn.Module):
             y1.reshape(b, l, -1), y2.reshape(b, l, -1)
         ], axis=-1).reshape(b, l, d_inner)
 
-        # LayerNorm with bias, torch eps (ADNssd.py:226,456)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
-        alpha1 = scalar_param(self, "alpha1", 1.0)
-        scalar_param(self, "alpha2", 1.0)  # exists but unused (ADNssd.py:459)
+        y = self._ln(p["norm"], y)
         z = to_seq(z)
-        y = jnp.concatenate([alpha1 * y, alpha1 * z], axis=-1)
-        out = Dense(self.d_model, use_bias=self.bias, dtype=self.dtype, name="out_proj")(y)
+        y = jnp.concatenate([p["alpha1"] * y, p["alpha1"] * z], axis=-1)
+        out = dense(p["out_proj"], y)
         return out.reshape(b, h, w, self.d_model)
+
+    # ---- channel-major layout (the refiner's 65k-token grids) --------
+
+    def _apply_channel_major(self, p, u):
+        """Same math as ``_apply_token_minor`` + the seq-minor duality,
+        entirely in (B, C, L)/(B, C, H, W) layout — see module docstring
+        for why (lane padding). Only the duality path supports this
+        layout (the refiner's configuration); callers gate on
+        ``linear_attn_duality``."""
+        b, h, w, d = u.shape
+        d_inner, gN, nheads, conv_dim = self._dims()
+        half = conv_dim // 2
+        qx = d_inner // 4
+        qbc = gN // 2
+        hh = nheads // 2
+        P = self.headdim
+        dtype = self.dtype or u.dtype
+        l = h * w
+        from adnm_tpu.parallel.mesh import maybe_shard
+
+        # one transpose in: (B, H, W, d) -> (B, d, L)
+        ut = jnp.moveaxis(u.reshape(b, l, d), -1, 1).astype(dtype)
+        ut = maybe_shard(ut, "data", None, "seq")
+
+        k_in, b_in = p["in_proj"]
+        zxbcdt = jnp.einsum(
+            "dc,bdl->bcl", k_in.astype(dtype), ut, preferred_element_type=dtype
+        )
+        if b_in is not None:
+            zxbcdt = zxbcdt + b_in.astype(dtype)[None, :, None]
+        z = zxbcdt[:, :d_inner]
+        xBC = zxbcdt[:, d_inner: d_inner + conv_dim]
+        dt = zxbcdt[:, d_inner + conv_dim:]
+        dt = jax.nn.softplus(dt + p["dt_bias"][None, :, None])  # (B, nheads, L)
+        A = -jnp.exp(p["A_log"])
+        D = p["D"]
+
+        def dw(px, x_cl, c):
+            k, bias = px
+            y = _dw_taps_cl(x_cl.reshape(b, c, h, w), k.astype(dtype),
+                            bias.astype(dtype) if bias is not None else None)
+            return y.reshape(b, c, l)
+
+        xBC1 = jax.nn.silu(dw(p["conv2d"], xBC[:, :half], half))
+        xBC2 = xBC[:, half:]
+        x2a = xBC2[:, :qx]
+        x2b = xBC2[:, qx: 2 * qx]
+        bc2a = xBC2[:, 2 * qx: 2 * qx + qbc]
+        bc2b = xBC2[:, 2 * qx + qbc:]
+
+        def sep(xx, c, a_name, b_name):
+            return jax.nn.silu(dw(p[b_name], dw(p[a_name], xx, c), c))
+
+        x2a = sep(x2a, qx, "conv_x1_a", "conv_x1_b")
+        x2b = sep(x2b, qx, "conv_x2_a", "conv_x2_b")
+        bc2a = sep(bc2a, qbc, "conv_bc1_a", "conv_bc1_b")
+        bc2b = sep(bc2b, qbc, "conv_bc2_a", "conv_bc2_b")
+
+        x1 = xBC1[:, : d_inner // 2].reshape(b, hh, P, l)
+        B1 = xBC1[:, d_inner // 2: d_inner // 2 + gN // 2]
+        C1 = xBC1[:, d_inner // 2 + gN // 2:]
+
+        # Path2 head assembly WITHOUT the token-minor interleave: head k
+        # needs channels {a_{2k}, b_{2k}, a_{2k+1}, b_{2k+1}} (any order
+        # within a head is scan-equivalent — per-head channels are
+        # independent through the SSD). Channel-major this is a free
+        # second-minor reshape/concat: (B, qx, L) -> (B, hh, P/2, L)
+        # halves concatenated to (B, hh, P, L) in [a,a,b,b] head order.
+        x2 = jnp.concatenate(
+            [x2a.reshape(b, hh, P // 2, l), x2b.reshape(b, hh, P // 2, l)],
+            axis=2,
+        )
+        # B/C: the reference interleave is a permutation applied
+        # IDENTICALLY to B and C; the duality contracts over the state
+        # axis, so any consistent order is exact — concat halves.
+        B2 = jnp.concatenate([bc2a[:, : qbc // 2], bc2b[:, : qbc // 2]], axis=1)
+        C2 = jnp.concatenate([bc2a[:, qbc // 2:], bc2b[:, qbc // 2:]], axis=1)
+
+        dt1, dt2 = dt[:, :hh], dt[:, hh:]
+        z = jax.nn.silu(dw(p["conv2d_z"], z, d_inner))
+
+        def scan_cl(xx, dd, AA, BB, CC, DD):
+            xx = maybe_shard(xx, "data", "model", None, "seq")
+            dd = maybe_shard(dd, "data", "model", "seq")
+            return linear_attn_dual_seqminor(
+                xx, dd, AA, BB, CC, DD, self.ssd_positive_dA
+            )
+
+        y1 = scan_cl(x1, dt1, A[:hh], B1, C1, D[:hh]).reshape(b, d_inner // 2, l)
+        y2 = scan_cl(x2, dt2, A[hh:], B2, C2, D[hh:]).reshape(b, d_inner // 2, l)
+
+        # Merge to the reference's channel order in ONE static row gather
+        # (second-minor axis; L stays contiguous): out channel 2m is
+        # y1[m]; out channel 2m+1 is reference-y2[m], which sits at our
+        # [a,a,b,b]-head position perm2(m) = 4*(m//2) + 2*(m%2 != 0
+        # flavor) ... computed explicitly below.
+        d2 = d_inner // 2
+        idx = []
+        for j in range(d_inner):
+            if j % 2 == 0:
+                idx.append(j // 2)  # y1[m]
+            else:
+                m = j // 2  # reference y2 channel: interleave(a, b)[m]
+                k_head, r = divmod(m, P)  # old head k, slot r
+                flavor, i_pair = r % 2, r // 2  # a/b alternate in old order
+                idx.append(d2 + k_head * P + flavor * (P // 2) + i_pair)
+        y = jnp.concatenate([y1, y2], axis=1)[:, jnp.asarray(idx)]
+
+        # LayerNorm over the channel axis (fp32 stats)
+        scale, bias = p["norm"]
+        yf = y.astype(jnp.float32)
+        mu = jnp.mean(yf, axis=1, keepdims=True)
+        var = jnp.var(yf, axis=1, keepdims=True)
+        y = ((yf - mu) * jax.lax.rsqrt(var + 1e-5) * scale[None, :, None]
+             + bias[None, :, None]).astype(dtype)
+
+        y = jnp.concatenate([p["alpha1"] * y, p["alpha1"] * z], axis=1)
+        k_out, b_out = p["out_proj"]
+        out = jnp.einsum(
+            "cd,bcl->bdl", k_out.astype(dtype), y, preferred_element_type=dtype
+        )
+        if b_out is not None:
+            out = out + b_out.astype(dtype)[None, :, None]
+        # one transpose out: (B, d, L) -> (B, H, W, d)
+        return jnp.moveaxis(out, 1, -1).reshape(b, h, w, d)

@@ -104,9 +104,11 @@ IMG = 256
 T_IN, T_OUT = 5, 20
 
 # end-to-end loader-fed epoch (VERDICT r3 item 4): enough synthetic
-# clips for 12 full batches at the headline batch size
+# clips for 12 full batches at the headline batch size. Tried in order
+# until one fits HBM (the r4 pinned batch-14 config OOM'd and took the
+# whole end-to-end measurement with it); the JSON records which ran.
 E2E_CLIPS = 168
-E2E_BATCH, E2E_SCAN, E2E_WIRE = 14, 4, "uint8"
+E2E_CONFIGS = ((14, 4, "uint8"), (8, 4, "uint8"), (4, 1, "float32"))
 
 
 def _quantize(batch: np.ndarray) -> np.ndarray:
@@ -293,56 +295,67 @@ def _true_flops_per_frame():
 
 def _measure_end_to_end():
     """Loader-fed sustained training throughput (VERDICT r3 item 4):
-    synthetic ShanghaiDataset -> prefetching BatchLoader (uint8 wire)
-    -> scan-mode train_epoch. Epoch 1 generates/caches clips and
-    compiles; epochs 2-3 are timed. In THIS container host->device goes
-    through a loopback tunnel (~26 MB / 0.6 s), so the number is
-    transfer-bound and far below the device-step throughput — on a
-    host-attached TPU the ingest path is >10x faster. Returns a detail
-    dict or None on failure."""
-    try:
-        from adnm_tpu.data.loader import BatchLoader
-        from adnm_tpu.data.shanghai import ShanghaiDataset
+    synthetic ShanghaiDataset -> prefetching BatchLoader -> train_epoch.
+    Epoch 1 generates/caches clips and compiles; epochs 2-3 are timed.
+    In THIS container host->device goes through a loopback tunnel
+    (~26 MB / 0.6 s), so the number is transfer-bound and far below the
+    device-step throughput — on a host-attached TPU the ingest path is
+    >10x faster. Tries E2E_CONFIGS in order (larger configs may OOM);
+    returns a detail dict (with any skipped configs recorded) or a
+    failure dict — never silently None."""
+    import gc
+    import sys
 
-        ds = ShanghaiDataset(None, img_size=IMG, split="train",
-                             synthetic_len=int(E2E_CLIPS / 0.7), seq_len=T_IN + T_OUT)
-        loader = BatchLoader(ds, E2E_BATCH, shuffle=True, transfer_dtype=E2E_WIRE)
-        trainer = _make_trainer(scan_steps=E2E_SCAN)
+    skipped = []
+    for e2e_batch, e2e_scan, e2e_wire in E2E_CONFIGS:
         try:
-            trainer.train_epoch(loader, lr=1e-3, clip_norm=0.025)  # warmup
-            times, steps = [], 0
-            for _ in range(2):
-                t0 = time.perf_counter()
-                stats = trainer.train_epoch(loader, lr=1e-3, clip_norm=0.025)
-                times.append(time.perf_counter() - t0)
-                steps = stats["steps"]
-            frames = steps * E2E_BATCH * T_OUT
-            best = min(times)
-            return {
-                "end_to_end_frames_per_s": round(frames / best, 2),
-                "epoch_seconds": [round(t, 2) for t in times],
-                "steps_per_epoch": steps,
-                "batch": E2E_BATCH,
-                "scan_steps": E2E_SCAN,
-                "wire": E2E_WIRE,
-                "note": "sustained loader-fed training (synthetic data, "
-                        "prefetching BatchLoader, uint8 wire). In this "
-                        "container host->device crosses a loopback tunnel "
-                        "(~26MB/0.6s), so this is transfer-bound — a "
-                        "host-attached TPU sustains much closer to the "
-                        "device-step number.",
-            }
-        finally:
-            del trainer
-            import gc
+            from adnm_tpu.data.loader import BatchLoader
+            from adnm_tpu.data.shanghai import ShanghaiDataset
 
+            ds = ShanghaiDataset(None, img_size=IMG, split="train",
+                                 synthetic_len=int(E2E_CLIPS / 0.7),
+                                 seq_len=T_IN + T_OUT)
+            loader = BatchLoader(ds, e2e_batch, shuffle=True,
+                                 transfer_dtype=e2e_wire)
+            trainer = _make_trainer(scan_steps=e2e_scan)
+            try:
+                trainer.train_epoch(loader, lr=1e-3, clip_norm=0.025)  # warmup
+                times, steps = [], 0
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    stats = trainer.train_epoch(loader, lr=1e-3, clip_norm=0.025)
+                    times.append(time.perf_counter() - t0)
+                    steps = stats["steps"]
+                frames = steps * e2e_batch * T_OUT
+                best = min(times)
+                return {
+                    "end_to_end_frames_per_s": round(frames / best, 2),
+                    "epoch_seconds": [round(t, 2) for t in times],
+                    "steps_per_epoch": steps,
+                    "batch": e2e_batch,
+                    "scan_steps": e2e_scan,
+                    "wire": e2e_wire,
+                    "skipped_configs": skipped,
+                    "note": "sustained loader-fed training (synthetic data, "
+                            "prefetching BatchLoader). In this container "
+                            "host->device crosses a loopback tunnel "
+                            "(~26MB/0.6s), so this is transfer-bound — a "
+                            "host-attached TPU sustains much closer to the "
+                            "device-step number.",
+                }
+            finally:
+                del trainer
+                gc.collect()
+        except Exception as e:
+            skipped.append({
+                "config": {"batch": e2e_batch, "scan": e2e_scan, "wire": e2e_wire},
+                "exception": f"{type(e).__name__}: {str(e)[:200]}",
+            })
+            print(f"# end-to-end config batch={e2e_batch} scan={e2e_scan} "
+                  f"failed: {type(e).__name__}", file=sys.stderr, flush=True)
             gc.collect()
-    except Exception as e:
-        import sys
-
-        print(f"# end-to-end measurement failed: {type(e).__name__}: {e}",
-              file=sys.stderr, flush=True)
-        return None
+    return {"end_to_end_frames_per_s": None, "skipped_configs": skipped,
+            "note": "every end-to-end config failed"}
 
 
 def _backend_ready(timeout_s: float):

@@ -125,6 +125,26 @@ def main():
     g2 = jax.grad(lambda xx: jnp.sum(linear_attn_dual(xx, dt, A, Bm, Cm, D) ** 2))
     rec("linear_attn_dual_fwdbwd", *timeit_chained(g2, x, K=25), **shape)
 
+    # ---- Pallas equivalents (the r5 honest re-A/B; VERDICT r4 item 4) --
+    try:
+        from adnm_tpu.ops.pallas import (
+            gated_rms_norm_pallas,
+            rms_norm_pallas,
+            ssd_chunked_scan_pallas,
+        )
+        have_pallas = True
+    except Exception as e:
+        print(json.dumps({"bench": "pallas_import_failed", "error": str(e)[:200]}),
+              flush=True)
+        have_pallas = False
+    if have_pallas:
+        rec("ssd_scan_fwd_pallas",
+            *timeit_chained(lambda xx: ssd_chunked_scan_pallas(
+                xx, dt, A, Bm, Cm, D, chunk_size=256), x), **shape)
+        gp = jax.grad(lambda xx: jnp.sum(ssd_chunked_scan_pallas(
+            xx, dt, A, Bm, Cm, D, chunk_size=256) ** 2))
+        rec("ssd_scan_fwdbwd_pallas", *timeit_chained(gp, x, K=25), **shape)
+
     # ---- (gated) RMSNorm at Block shapes ------------------------------
     for d in (32, 64):
         rows_x = jnp.asarray(rng.standard_normal((B, L, d)), dtype)
@@ -144,6 +164,13 @@ def main():
         rec(f"rmsnorm_d{d}", *timeit_chained(rms_xla, rows_x, K=100), rows=B * L)
         rec(f"gated_rmsnorm_d{d}",
             *timeit_chained(lambda v: grms_xla(v, rows_z), rows_x, K=100), rows=B * L)
+        if have_pallas:
+            rec(f"rmsnorm_d{d}_pallas",
+                *timeit_chained(lambda v: rms_norm_pallas(v, w), rows_x, K=100),
+                rows=B * L)
+            rec(f"gated_rmsnorm_d{d}_pallas",
+                *timeit_chained(lambda v: gated_rms_norm_pallas(v, rows_z, w),
+                                rows_x, K=100), rows=B * L)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,18 @@
 """Component-level wall-time breakdown of the flagship ADNM-UNet step.
 
 Times each architectural piece at its real shapes (default batch 4,
-256x256 -> L = 65,536 refiner tokens) with the SAME forced-materialization
-protocol as bench.py (r4): every timed trial ends with a host fetch of a
+256x256 -> L = 65,536 refiner tokens) with the forced-materialization
+protocol (bench.py r4): every timed region ends with a host fetch of a
 scalar derived from the outputs — dispatch-only readings are impossible.
-Use to locate where the real step time goes before optimizing (the r1-r3
-"latency-bound" readings were dispatch artifacts; see bench.py docstring).
+
+r5 addition: per-call timings on this tunnel-attached chip carry a
+~25 ms round-trip floor PER JIT CALL (measured: every sub-ms piece read
+uniformly ~25-26 ms), so each piece is chained K times inside ONE jit
+via a lax.fori_loop whose carry threads a tiny output-derived
+perturbation back into the input — K dependent applications, one
+round trip. Per-op time = (trial - one round trip) is not attempted;
+instead K is large enough (default 16) that the floor amortizes to
+~1.6 ms and the chained estimate is reported directly.
 
 Usage:
     python scripts/step_breakdown.py                 # all pieces, B=4
@@ -34,16 +41,41 @@ def _fetch_scalar(tree):
     import jax
     import jax.numpy as jnp
 
-    leaves = [jnp.sum(x) for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
-    return jnp.sum(jnp.stack([l.astype(jnp.float32) for l in leaves]))
+    leaves = [jnp.sum(x.astype(jnp.float32))
+              for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    return jnp.sum(jnp.stack(leaves))
 
 
-def timeit(name, fn, *args, n=4, trials=2):
-    """jit(fn), warm up with a value fetch, then best-of-trials of n
-    calls each; every trial fetches the stacked per-call scalars."""
+def timeit(name, fn, *args, n=16, trials=2, chain_arg=0):
+    """Chain ``n`` dependent applications of ``fn`` inside one jit and
+    report per-application seconds, best of ``trials`` (each trial is
+    one round trip ending in a forced host fetch).
+
+    ``chain_arg`` indexes the positional arg (an array) through which
+    the loop-carried dependence is threaded: each iteration adds
+    1e-20 * (previous output scalar) to it — numerically negligible,
+    but it forces XLA to execute the applications sequentially instead
+    of folding them into one.
+    """
     import jax
+    import jax.numpy as jnp
 
-    jfn = jax.jit(lambda *a: _fetch_scalar(fn(*a)))
+    def jfn_body(*a):
+        x0 = a[chain_arg]
+
+        def body(i, carry):
+            s, x = carry
+            a2 = list(a)
+            a2[chain_arg] = x
+            s2 = _fetch_scalar(fn(*a2))
+            x2 = x + (s2 * 1e-20).astype(x.dtype)
+            return s + s2, x2
+
+        s, _ = jax.lax.fori_loop(
+            0, n, body, (jnp.float32(0.0), x0))
+        return s
+
+    jfn = jax.jit(jfn_body)
     try:
         v = float(jfn(*args))  # compile + first run, forced
     except Exception as e:
@@ -51,13 +83,11 @@ def timeit(name, fn, *args, n=4, trials=2):
         return None
     best = float("inf")
     for _ in range(trials):
-        outs = []
         t0 = time.perf_counter()
-        for _ in range(n):
-            outs.append(jfn(*args))
-        np.asarray([float(o) for o in outs])  # forces every call
+        out = float(jfn(*args))  # one round trip, n applications
         best = min(best, (time.perf_counter() - t0) / n)
-    print(f"{name:34s} {best * 1e3:9.2f} ms   (warm first={v:.3e})")
+        assert np.isfinite(out), (name, out)
+    print(f"{name:34s} {best * 1e3:9.2f} ms   (chained x{n}, warm first={v:.3e})")
     gc.collect()
     return best
 
@@ -68,12 +98,14 @@ def main():
     ap.add_argument("--only", default="")
     ap.add_argument("--grad", action="store_true",
                     help="also time fwd+bwd (grad wrt params) per piece")
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=16,
+                    help="chained applications per jit call")
     args = ap.parse_args()
 
     from adnm_tpu.utils.cache import enable_compile_cache
 
-    enable_compile_cache(".jax_cache")
+    enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
 
     import jax
     import jax.numpy as jnp
@@ -86,20 +118,23 @@ def main():
     def want(name):
         return args.only in name
 
-    def module_piece(name, mod, *xs, method=None):
-        """Time a flax module's jitted apply (and optionally its grad)."""
+    def module_piece(name, mod, *xs, extra_xs=()):
+        """Time a flax module's jitted apply (and optionally its grad),
+        chained through the first input."""
         if not want(name):
             return
         init = jax.jit(lambda *a: mod.init(key, *a))
-        variables = init(*xs)
-        fwd = lambda v, *a: mod.apply(v, *a)
-        timeit(f"{name} fwd", fwd, variables, *xs, n=args.iters)
+        variables = init(*xs, *extra_xs)
+        fwd = lambda x, v: mod.apply(v, x, *extra_xs)
+        timeit(f"{name} fwd", fwd, xs[0], variables, n=args.iters)
         if args.grad:
-            def loss(v, *a):
-                return _fetch_scalar(mod.apply(v, *a))
+            def loss(x, v):
+                return _fetch_scalar(mod.apply(v, x, *extra_xs))
 
-            timeit(f"{name} fwd+bwd", jax.grad(loss), variables, *xs,
-                   n=args.iters)
+            # grad wrt params AND input (the real backward: both
+            # cotangent paths), chained through the input
+            g = jax.grad(loss, argnums=(0, 1))
+            timeit(f"{name} fwd+bwd", g, xs[0], variables, n=args.iters)
         del variables
         gc.collect()
 
@@ -132,7 +167,7 @@ def main():
     module_piece("mixer(d=32,256^2)", ADNSSDMixer(32, headdim=4,
                                                   dtype=jnp.bfloat16), x32)
 
-    from adnm_tpu.models.adnm_unet import Block, Refiner
+    from adnm_tpu.models.adnm_unet import Block, Decoder, Encoder, Refiner
 
     module_piece("block(d=32,256^2)",
                  Block(dim=32, out_dim=32, headdim=4, num_layers=1,
@@ -144,11 +179,11 @@ def main():
             "refiner_full(4 blocks+outproj)",
             Refiner((32, 32, 32, 32), (1, 1, 1, 1), (4, 4, 4, 4), 20,
                     (3, 2, 1), remat=False, dtype=jnp.bfloat16),
-            x32, res,
+            x32, extra_xs=(res,),
         )
 
     # ---- conv pyramid pieces -------------------------------------------
-    from adnm_tpu.core.blocks import PatchEmbed, WTConvLayer
+    from adnm_tpu.core.blocks import EncoderToDecoder, PatchEmbed, WTConvLayer
 
     module_piece("wtconv(d=32,k5,lv3,256^2)",
                  WTConvLayer(32, 5, 1, 3, use_bias=False, act="gelu"), x32)
@@ -157,18 +192,37 @@ def main():
     module_piece("patch_embed(5->32,256^2)",
                  PatchEmbed(5, 32, kernel=5, wt_levels=3), x5)
 
-    from adnm_tpu.models.adnm_unet import Encoder
+    ed = (32, 64, 128, 256, 512, 1024)
+    enc = Encoder(ed, (1, 1, 1), 4, 5, (5, 5, 5), (2, 2, 2, 2, 2, 2),
+                  (3, 2, 1), dtype=jnp.bfloat16)
+    module_piece("encoder(full)", enc, x5)
 
-    module_piece(
-        "encoder(full)",
-        Encoder((32, 64, 128, 256, 512, 1024), (1, 1, 1), 4, 5,
-                (5, 5, 5), (2, 2, 2, 2, 2, 2), (3, 2, 1),
-                dtype=jnp.bfloat16),
-        x5,
-    )
+    if want("e2d"):
+        # the largest EncoderToDecoder site: skip[4] level, 32^2 x 512
+        xs_ = jnp.asarray(rng.standard_normal((B, 32, 32, 512)), jnp.bfloat16)
+        module_piece("e2d(32^2,512)", EncoderToDecoder(512),
+                     xs_, extra_xs=(jnp.ones((B, 1, 1, 512), jnp.bfloat16),))
+
+    if want("decoder"):
+        # decoder at real skip shapes (encoder output feeds it)
+        variables = jax.jit(lambda x: enc.init(key, x))(x5)
+        xe, skips, _ = jax.jit(lambda v, x: enc.apply(v, x))(variables, x5)
+        dec = Decoder(ed, (1, 1, 1), 4, (32, 32, 32, 32), (5, 5, 5),
+                      (2, 2, 2, 2, 2, 2), (3, 2, 1), dtype=jnp.bfloat16)
+        dvars = jax.jit(lambda x, s: dec.init(key, x, s))(xe, skips)
+        fwd = lambda x, v, s: dec.apply(v, x, s)
+        timeit("decoder(full) fwd", fwd, xe, dvars, skips, n=args.iters)
+        if args.grad:
+            def dloss(x, v, s):
+                return _fetch_scalar(dec.apply(v, x, s))
+
+            timeit("decoder(full) fwd+bwd", jax.grad(dloss, argnums=(0, 1)),
+                   xe, dvars, skips, n=args.iters)
+        del variables, dvars, skips
+        gc.collect()
 
     # ---- full model / trainer -------------------------------------------
-    if want("model") or want("train") or want("loss"):
+    if want("model_fwd") or want("train_step") or want("loss"):
         from adnm_tpu.models import create_model
         from adnm_tpu.train import Trainer, get_preset
 
@@ -183,13 +237,13 @@ def main():
             out = jnp.asarray(rng.uniform(0, 1, (B, 20, 1, 256, 256)),
                               jnp.float32)
             tgt = batch[:, 5:]
-            timeit("loss_fn(enRainfall)", preset.loss_fn, out, tgt,
-                   n=args.iters)
+            timeit("loss_fn(enRainfall)", lambda o, t: preset.loss_fn(o, t),
+                   out, tgt, n=args.iters)
 
         if want("model_fwd"):
             timeit("model_fwd(eval graph)",
-                   lambda st, b: trainer._eval_step_impl(st, b),
-                   trainer.state, batch, n=args.iters)
+                   lambda b, st: trainer._eval_step_impl(st, b)[1],
+                   batch, trainer.state, n=args.iters)
 
         if want("train_step"):
             lr, clip = jnp.float32(1e-3), jnp.float32(0.025)

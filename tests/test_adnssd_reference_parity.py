@@ -148,3 +148,26 @@ class TestADNSSDReferenceParity:
             y_ref = torch_reference_mixer(w, np.asarray(u.reshape(2, H * W, D_MODEL)), H, W)
         y_ours = np.asarray(mixer.apply(variables, u)).reshape(2, H * W, D_MODEL)
         np.testing.assert_allclose(y_ours, y_ref, rtol=1e-4, atol=1e-4)
+
+    def test_channel_major_layout_matches_reference_formulation(self):
+        """The (B, C, L) channel-major execution layout (r5 — what the
+        refiner's 65k-token mixers actually run) against the SAME torch
+        reference oracle and the token-minor path, same params: the
+        layout change (tap-lowered depthwise convs, concat-instead-of-
+        interleave head assembly + one output permutation, seq-minor
+        duality) is math-identical."""
+        H = W = 8
+        u = jax.random.normal(jax.random.PRNGKey(0), (2, H, W, D_MODEL))
+        tm = ADNSSDMixer(d_model=D_MODEL, headdim=HEADDIM, ngroups=NGROUPS,
+                         d_state=D_STATE)
+        cm = ADNSSDMixer(d_model=D_MODEL, headdim=HEADDIM, ngroups=NGROUPS,
+                         d_state=D_STATE, seq_minor_min_l=1)  # force channel-major
+        variables = tm.init(jax.random.PRNGKey(1), u)
+        params = jax.device_get(variables["params"])
+        w = _ref_weights(params)
+        with torch.no_grad():
+            y_ref = torch_reference_mixer(w, np.asarray(u.reshape(2, H * W, D_MODEL)), H, W)
+        y_cm = np.asarray(cm.apply(variables, u)).reshape(2, H * W, D_MODEL)
+        np.testing.assert_allclose(y_cm, y_ref, rtol=1e-4, atol=1e-4)
+        y_tm = np.asarray(tm.apply(variables, u)).reshape(2, H * W, D_MODEL)
+        np.testing.assert_allclose(y_cm, y_tm, rtol=1e-5, atol=1e-5)

@@ -248,6 +248,66 @@ class TestWavelet:
         y, _ = m.init_with_output(jax.random.PRNGKey(5), x)
         assert y.shape == (1, 8, 8, 4)
 
+    def test_haar_cat_layout_matches_stacked(self):
+        """haar_dwt_cat/idwt_cat (the TPU-layout form WTConv2d runs on,
+        r5) are exactly haar_dwt/idwt up to the documented subband-major
+        channel permutation."""
+        x = rand(21, 2, 16, 16, 6)
+        a = np.asarray(W.haar_dwt(x))  # (b, h2, w2, c, 4)
+        b = np.asarray(W.haar_dwt_cat(x))  # (b, h2, w2, 4c)
+        c = x.shape[-1]
+        for s in range(4):
+            np.testing.assert_allclose(
+                b[..., s * c:(s + 1) * c], a[..., :, s], atol=1e-6
+            )
+        np.testing.assert_allclose(
+            np.asarray(W.haar_idwt_cat(W.haar_dwt_cat(x))), np.asarray(x),
+            atol=1e-5,
+        )
+
+    def test_wtconv_matches_stacked_layout_oracle(self):
+        """WTConv2d's subband-major data layout + reference-order params
+        (kernel permuted at trace time) produce EXACTLY the per-channel
+        subband-block formulation the params are stored for — pinned by
+        re-computing the module from the same param tree with the
+        public (…, c, 4) haar_dwt."""
+        c, k, levels = 6, 5, 2
+        x = rand(22, 2, 16, 16, c)
+        m = W.WTConv2d(channels=c, kernel_size=k, wt_levels=levels)
+        v = m.init(jax.random.PRNGKey(7), x)
+        y_new = np.asarray(m.apply(v, x))
+
+        p = v["params"]
+        lls, highs, shapes = [], [], []
+        cur = x
+        for lvl in range(levels):
+            shapes.append(cur.shape)
+            sub = W.haar_dwt(cur)  # (b, h2, w2, c, 4)
+            cur = sub[..., 0]
+            b, h2, w2, _, _ = sub.shape
+            flat = sub.reshape(b, h2, w2, c * 4)  # per-channel blocks
+            kern = p[f"wavelet_conv{lvl}"]["kernel"]
+            flat = jax.lax.conv_general_dilated(
+                flat, kern, (1, 1), "SAME", feature_group_count=c * 4,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) * p[f"wavelet_scale{lvl}"]
+            sub = flat.reshape(b, h2, w2, c, 4)
+            lls.append(sub[..., 0])
+            highs.append(sub[..., 1:])
+        next_ll = 0.0
+        for lvl in range(levels - 1, -1, -1):
+            sub = jnp.concatenate(
+                [(lls[lvl] + next_ll)[..., None], highs[lvl]], axis=-1
+            )
+            next_ll = W.haar_idwt(sub)[:, : shapes[lvl][1], : shapes[lvl][2]]
+        base = jax.lax.conv_general_dilated(
+            x, p["base_conv"]["kernel"], (1, 1), "SAME",
+            feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["base_conv"]["bias"]
+        y_ref = np.asarray(base * p["base_scale"] + next_ll)
+        np.testing.assert_allclose(y_new, y_ref, atol=2e-5, rtol=1e-5)
+
 
 class TestBlocks:
     def test_feedforward(self):
