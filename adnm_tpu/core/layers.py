@@ -53,17 +53,26 @@ class BiasFreeLayerNorm(nn.Module):
 
 
 class RMSNorm(nn.Module):
-    """RMS norm over the last axis (reference: mamba_ssm Triton RMSNorm,
-    imported at models/ADNMUNet.py:28; used as Block norm_layer)."""
+    """RMS norm over the channel axis (reference: mamba_ssm Triton
+    RMSNorm, imported at models/ADNMUNet.py:28; used as Block norm_layer).
+
+    ``axis`` selects where the channel dim lives (default -1, the NHWC /
+    token-minor layout; the channel-major refiner path normalizes axis 1
+    of (B, C, H, W) tensors — same parameters, same math)."""
 
     dim: int
     eps: float = 1e-6
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         w = self.param("weight", nn.initializers.ones, (self.dim,), jnp.float32)
         xf = _norm_stats_cast(x)
-        ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        ms = jnp.mean(jnp.square(xf), axis=self.axis, keepdims=True)
+        if self.axis != -1 and self.axis != x.ndim - 1:
+            shape = [1] * x.ndim
+            shape[self.axis] = self.dim
+            w = w.reshape(shape)
         out = xf * jax.lax.rsqrt(ms + self.eps) * w
         return out.astype(x.dtype)
 
@@ -342,6 +351,28 @@ def _grouped_conv_bwd(strides, pads, groups, resids, ct):
 grouped_conv.defvjp(_grouped_conv_fwd, _grouped_conv_bwd)
 
 
+def dw_taps_cl(x, kernel, bias=None):
+    """Depthwise conv in channel-major layout: x (B, C, H, W), kernel
+    (kh, kw, 1, C) HWIO, SAME padding. Lowered as kh*kw shifted
+    multiply-adds — all slices of one padded tensor, fused by XLA into
+    a single pass; plain elementwise ops, so gradients are mesh-exact
+    under every SPMD mesh (no feature_group_count involved —
+    CLAUDE.md defect #3 cannot apply)."""
+    kh, kw, _, c = kernel.shape
+    b, cc, h, w = x.shape
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+    y = None
+    for dy in range(kh):
+        for dx in range(kw):
+            t = jax.lax.slice(xp, (0, 0, dy, dx), (b, cc, dy + h, dx + w))
+            t = t * kernel[dy, dx, 0][None, :, None, None]
+            y = t if y is None else y + t
+    if bias is not None:
+        y = y + bias[None, :, None, None]
+    return y
+
+
 class Conv2d(nn.Module):
     """2-D convolution on NHWC with torch-style symmetric padding and
     torch-default initializers (kaiming-uniform weight, fan-in-uniform
@@ -617,9 +648,56 @@ class Mlp(nn.Module):
         return x
 
 
+class _RawConvKernel(nn.Module):
+    """Creates exactly the kernel/bias params a Conv2d would (same
+    names, shapes, torch-default inits) without running its NHWC math —
+    for layout-specialized execution paths over one shared tree."""
+
+    shape: Tuple[int, ...]  # (kh, kw, cin_per_group, features) HWIO
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kh, kw, ipg, features = self.shape
+        fan_in = ipg * kh * kw
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            a = math.sqrt(5.0)
+            gain = math.sqrt(2.0 / (1 + a * a))
+            k_bound = math.sqrt(3.0) * gain / math.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -k_bound, k_bound)
+
+        kernel = self.param("kernel", kernel_init, self.shape, jnp.float32)
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param(
+            "bias",
+            lambda key, shape, dt=jnp.float32: jax.random.uniform(key, shape, dt, -bound, bound),
+            (features,),
+            jnp.float32,
+        )
+        return kernel, bias
+
+
+class _ConvParams(nn.Module):
+    """Param-tree stand-in for ``ConvLayer(name=...)`` (norm-free): the
+    nested ``conv`` module's kernel/bias, nothing executed."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        return _RawConvKernel(self.shape, self.use_bias, name="conv")()
+
+
 class FeedForward(nn.Module):
     """1x1 expand (2*hidden) -> dw 3x3 -> gelu(x1)*sigmoid(x2) gate -> 1x1
-    (reference: models/model_untils.py:172-197). Input NHWC."""
+    (reference: models/model_untils.py:172-197). Input NHWC, or
+    channel-major (B, C, H, W) with ``layout="cl"`` (same param tree;
+    used by the refiner's 65k-token blocks where token-minor d=32
+    tensors lane-pad 4x — see the hybrid-layout note in __call__)."""
 
     dim: int
     expansion: int = 2
@@ -628,23 +706,56 @@ class FeedForward(nn.Module):
     # replicated (its padded poolings miscompute under a 'seq'-sharded H
     # — XLA SPMD partitioner defect, see blocks.py pool_pair)
     spatial_shard: bool = True
+    layout: str = "nhwc"  # "nhwc" | "cl"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from adnm_tpu.parallel.mesh import maybe_shard
+
+        seq = "seq" if self.spatial_shard else None
         hidden = int(self.dim * self.expansion)
-        x = ConvLayer(hidden * 2, (1, 1), (1, 1), (0, 0), dtype=self.dtype, name="project_in")(x)
+        if self.layout == "cl":
+            # Fully channel-major on (B, C, H, W): 1x1 convs as channel
+            # einsums, the depthwise conv as fused shift-taps
+            # (dw_taps_cl), L in the lane dim for every tensor. A hybrid
+            # that ran the 128-channel middle token-minor (native fused
+            # dw conv, layout swaps inside the 1x1 matmuls) was A/B'd on
+            # the chip and LOST (18.0 vs 16.1 ms per refiner block
+            # fwd+bwd) — the lane-exact middle did not pay for the
+            # boundary layout churn. Same param tree as the NHWC path.
+            b, c, h, w = x.shape
+            dt = self.dtype or x.dtype
+            kin, bin_ = _ConvParams((1, 1, c, hidden * 2), name="project_in")()
+            y = jnp.einsum("io,bihw->bohw", kin[0, 0].astype(dt),
+                           x.astype(dt), preferred_element_type=dt)
+            if bin_ is not None:
+                y = y + bin_.astype(dt)[None, :, None, None]
+            y = maybe_shard(y, "data", "model", seq, None)
+            kdw, bdw = _ConvParams((3, 3, 1, hidden * 2), name="dwconv")()
+            y = dw_taps_cl(y, kdw.astype(dt),
+                           bdw.astype(dt) if bdw is not None else None)
+            x1, x2 = jnp.split(y, 2, axis=1)
+            y = jax.nn.gelu(x1) * jax.nn.sigmoid(x2)
+            kout, bout = _ConvParams((1, 1, hidden, self.dim), name="project_out")()
+            out = jnp.einsum("io,bihw->bohw", kout[0, 0].astype(dt), y,
+                             preferred_element_type=dt)
+            if bout is not None:
+                out = out + bout.astype(dt)[None, :, None, None]
+            return out
+        x = ConvLayer(hidden * 2, (1, 1), (1, 1), (0, 0), dtype=self.dtype,
+                      name="project_in")(x)
         # Megatron-style TP on the MLP: the expanded hidden channels split
         # over a 'model' mesh axis (column-parallel expand, row-parallel
         # project_out — XLA inserts the single all-reduce); the depthwise
         # conv and the gate are per-channel, so they stay collective-free.
         # No-op without a 'model' axis (parallel.mesh.maybe_shard).
-        from adnm_tpu.parallel.mesh import maybe_shard
-
-        x = maybe_shard(x, "data", "seq" if self.spatial_shard else None, None, "model")
-        x = ConvLayer(hidden * 2, (3, 3), (1, 1), (1, 1), groups=hidden * 2, dtype=self.dtype, name="dwconv")(x)
+        x = maybe_shard(x, "data", seq, None, "model")
+        x = ConvLayer(hidden * 2, (3, 3), (1, 1), (1, 1), groups=hidden * 2,
+                      dtype=self.dtype, name="dwconv")(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = jax.nn.gelu(x1) * jax.nn.sigmoid(x2)
-        return ConvLayer(self.dim, (1, 1), (1, 1), (0, 0), dtype=self.dtype, name="project_out")(x)
+        return ConvLayer(self.dim, (1, 1), (1, 1), (0, 0), dtype=self.dtype,
+                         name="project_out")(x)
 
 
 class ConvFFD(nn.Module):

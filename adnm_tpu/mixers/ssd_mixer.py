@@ -63,7 +63,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from adnm_tpu.core.layers import scalar_param
+from adnm_tpu.core.layers import dw_taps_cl as _dw_taps_cl_impl, scalar_param
 from adnm_tpu.ops.ssd import (
     linear_attn_dual,
     linear_attn_dual_seqminor,
@@ -129,26 +129,8 @@ class _LNParams(nn.Module):
         )
 
 
-def _dw_taps_cl(x, kernel, bias=None):
-    """Depthwise conv in channel-major layout: x (B, C, H, W), kernel
-    (kh, kw, 1, C) HWIO, SAME padding. Lowered as kh*kw shifted
-    multiply-adds — all slices of one padded tensor, fused by XLA into
-    a single pass; plain elementwise ops, so gradients are mesh-exact
-    under every SPMD mesh (no feature_group_count involved —
-    CLAUDE.md defect #3 cannot apply)."""
-    kh, kw, _, c = kernel.shape
-    b, cc, h, w = x.shape
-    ph, pw = kh // 2, kw // 2
-    xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
-    y = None
-    for dy in range(kh):
-        for dx in range(kw):
-            t = jax.lax.slice(xp, (0, 0, dy, dx), (b, cc, dy + h, dx + w))
-            t = t * kernel[dy, dx, 0][None, :, None, None]
-            y = t if y is None else y + t
-    if bias is not None:
-        y = y + bias[None, :, None, None]
-    return y
+# shared with core.layers (the Conv2d layout="cl" depthwise path)
+_dw_taps_cl = _dw_taps_cl_impl
 
 
 class ADNSSDMixer(nn.Module):
@@ -208,8 +190,14 @@ class ADNSSDMixer(nn.Module):
         return p
 
     @nn.compact
-    def __call__(self, u: jax.Array) -> jax.Array:
-        b, h, w, d = u.shape
+    def __call__(self, u: jax.Array, cl: bool = False) -> jax.Array:
+        """``cl=True``: ``u`` is channel-major (B, C, H, W) and the output
+        is returned channel-major too (no transposes at the boundary) —
+        the layout the refiner's channel-major Block runs end to end."""
+        if cl:
+            b, d, h, w = u.shape
+        else:
+            b, h, w, d = u.shape
         assert d == self.d_model
         d_inner = self.expand * self.d_model
         nheads = d_inner // self.headdim
@@ -217,6 +205,9 @@ class ADNSSDMixer(nn.Module):
         gN = self.ngroups * self.d_state  # total B (== C) channels
         l = h * w
         p = self._params(d, d_inner, gN, nheads)
+        if cl:
+            assert self.linear_attn_duality, "cl layout is duality-only"
+            return self._apply_channel_major(p, u, cl_io=True)
         if self.linear_attn_duality and l >= self.seq_minor_min_l:
             return self._apply_channel_major(p, u)
         return self._apply_token_minor(p, u)
@@ -367,13 +358,19 @@ class ADNSSDMixer(nn.Module):
 
     # ---- channel-major layout (the refiner's 65k-token grids) --------
 
-    def _apply_channel_major(self, p, u):
+    def _apply_channel_major(self, p, u, cl_io: bool = False):
         """Same math as ``_apply_token_minor`` + the seq-minor duality,
         entirely in (B, C, L)/(B, C, H, W) layout — see module docstring
         for why (lane padding). Only the duality path supports this
         layout (the refiner's configuration); callers gate on
-        ``linear_attn_duality``."""
-        b, h, w, d = u.shape
+        ``linear_attn_duality``. ``cl_io=True``: ``u`` arrives
+        (B, d, H, W) and the result is returned (B, d, H, W) — no
+        boundary transposes at all (the whole refiner Block runs
+        channel-major)."""
+        if cl_io:
+            b, d, h, w = u.shape
+        else:
+            b, h, w, d = u.shape
         d_inner, gN, nheads, conv_dim = self._dims()
         half = conv_dim // 2
         qx = d_inner // 4
@@ -384,8 +381,11 @@ class ADNSSDMixer(nn.Module):
         l = h * w
         from adnm_tpu.parallel.mesh import maybe_shard
 
-        # one transpose in: (B, H, W, d) -> (B, d, L)
-        ut = jnp.moveaxis(u.reshape(b, l, d), -1, 1).astype(dtype)
+        if cl_io:
+            ut = u.reshape(b, d, l).astype(dtype)  # free reshape
+        else:
+            # one transpose in: (B, H, W, d) -> (B, d, L)
+            ut = jnp.moveaxis(u.reshape(b, l, d), -1, 1).astype(dtype)
         ut = maybe_shard(ut, "data", None, "seq")
 
         k_in, b_in = p["in_proj"]
@@ -487,5 +487,7 @@ class ADNSSDMixer(nn.Module):
         )
         if b_out is not None:
             out = out + b_out.astype(dtype)[None, :, None]
+        if cl_io:
+            return out.reshape(b, d, h, w)  # free reshape, stays channel-major
         # one transpose out: (B, d, L) -> (B, H, W, d)
         return jnp.moveaxis(out, 1, -1).reshape(b, h, w, d)

@@ -79,6 +79,14 @@ class Block(nn.Module):
     d_state: int = 16
     linear_attn_duality: bool = True
     mixer_type: str = "adnssd"  # "adnssd" | "vssd" (reference import switch, ADNMUNet.py:23-24)
+    # "nhwc": x is (B, H, W, D) (the default everywhere). "cl": x is
+    # channel-major (B, D, H, W) end to end — norms over axis 1, the
+    # mixer's channel-major path without boundary transposes, and the
+    # FFN's convs as channel einsums / fused shift-taps. Used by the
+    # Refiner at 65k tokens where every token-minor d=32 intermediate
+    # lane-pads 4x (bandwidth-bound step; see mixers/ssd_mixer.py).
+    # The parameter tree is IDENTICAL between layouts.
+    layout: str = "nhwc"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -88,6 +96,8 @@ class Block(nn.Module):
         residual: Optional[jax.Array] = None,
         features: Optional[jax.Array] = None,
     ) -> jax.Array:
+        cl = self.layout == "cl"
+        cax = 1 if cl else -1
         alpha1 = scalar_param(self, "alpha1", 1.0)
         alpha2 = scalar_param(self, "alpha2", 1.0)
         alpha3 = scalar_param(self, "alpha3", 1.0)
@@ -100,19 +110,23 @@ class Block(nn.Module):
         self.param("beta4", nn.initializers.ones, (self.num_layers,), jnp.float32)
 
         if residual is not None:
-            x = jnp.concatenate([alpha1 * x, alpha2 * residual], axis=-1)
+            x = jnp.concatenate([alpha1 * x, alpha2 * residual], axis=cax)
             if features is not None:
-                x = x + jnp.concatenate([alpha3 * features, alpha4 * features], axis=-1)
+                x = x + jnp.concatenate([alpha3 * features, alpha4 * features], axis=cax)
         elif features is not None:
             x = x + alpha3 * features
 
-        d = x.shape[-1]
+        d = x.shape[cax]
+        if cl:
+            assert self.mixer_type == "adnssd" and self.linear_attn_duality, (
+                "layout='cl' supports the duality ADNSSD mixer only"
+            )
         for i in range(self.num_layers):
             scale1 = scalar_param(self, f"scale1_{i}", 1.0)
             shift1 = scalar_param(self, f"shift1_{i}", 0.0)
             scale2 = scalar_param(self, f"scale2_{i}", 1.0)
             shift2 = scalar_param(self, f"shift2_{i}", 0.0)
-            x_norm = scale1 * RMSNorm(d, self.norm_epsilon, name=f"norm1_{i}")(x) + shift1
+            x_norm = scale1 * RMSNorm(d, self.norm_epsilon, axis=cax, name=f"norm1_{i}")(x) + shift1
             mixer_cls = ADNSSDMixer
             if self.mixer_type == "vssd":
                 from adnm_tpu.mixers.vssd import VSSDMixer
@@ -126,17 +140,29 @@ class Block(nn.Module):
                 dtype=self.dtype,
                 name=f"mixer_{i}",
             )
-            x = beta1[i] * x + beta2[i] * mixer(x_norm)
-            x_norm = scale2 * RMSNorm(d, self.norm_epsilon, name=f"norm2_{i}")(x) + shift2
-            ffn = FeedForward(dim=d, expansion=2, dtype=self.dtype, name=f"ffn_{i}")
+            x = beta1[i] * x + beta2[i] * (mixer(x_norm, cl=True) if cl else mixer(x_norm))
+            x_norm = scale2 * RMSNorm(d, self.norm_epsilon, axis=cax, name=f"norm2_{i}")(x) + shift2
+            ffn = FeedForward(dim=d, expansion=2, dtype=self.dtype,
+                              layout=self.layout, name=f"ffn_{i}")
             x = beta1[i] * x + beta2[i] * ffn(x_norm)
 
         gamma = self.param("gamma", nn.initializers.ones, (d,), jnp.float32)
-        x = x * gamma
+        x = x * (gamma[:, None, None] if cl else gamma)
         if self.dim != self.out_dim:
-            from adnm_tpu.core.layers import Dense
+            if cl:
+                # Dense over the channel axis with Dense's exact param
+                # tree (out_proj/kernel (d, out), out_proj/bias) — the
+                # _Kernel holder shares Dense's torch-default init.
+                from adnm_tpu.mixers.ssd_mixer import _Kernel
 
-            x = Dense(self.out_dim, dtype=self.dtype, name="out_proj")(x)
+                k, bias = _Kernel((d, self.out_dim), d, bias=True, name="out_proj")()
+                dt = self.dtype or x.dtype
+                x = jnp.einsum("io,bihw->bohw", k.astype(dt), x.astype(dt),
+                               preferred_element_type=dt) + bias.astype(dt)[None, :, None, None]
+            else:
+                from adnm_tpu.core.layers import Dense
+
+                x = Dense(self.out_dim, dtype=self.dtype, name="out_proj")(x)
         return x
 
 
@@ -385,13 +411,27 @@ class Refiner(nn.Module):
         x = maybe_shard(x, "data", "seq")
         res = maybe_shard(res, "data", "seq")
         rd = self.refine_dim
+        # Channel-major refiner (one transpose in, one out): at 65k tokens
+        # with d=32 every token-minor intermediate lane-pads 4x, so the
+        # four Blocks run end to end in (B, C, H, W) — norms/FFN/mixer all
+        # channel-major, zero per-block transposes. Same parameter tree.
+        cl = (
+            self.linear_attn_duality
+            and self.mixer_type == "adnssd"
+            and x.shape[1] * x.shape[2] >= 16384  # ADNSSDMixer.seq_minor_min_l
+        )
+        if cl:
+            x = jnp.moveaxis(x, -1, 1)
         BlockM = nn.remat(Block) if self.remat else Block
         for i in range(4):
             # Sequence sharding of the full-resolution token grid: under a
             # ('data', 'seq') mesh (jax.sharding.set_mesh) the H axis — and
             # with it L = H*W — is split over 'seq'; XLA turns the duality
             # K^T V contraction into a psum over 'seq'. No-op otherwise.
-            x = maybe_shard(x, "data", "seq", None, None)
+            if cl:
+                x = maybe_shard(x, "data", None, "seq", None)
+            else:
+                x = maybe_shard(x, "data", "seq", None, None)
             x = BlockM(
                 dim=rd[i],
                 out_dim=rd[i + 1] if i < 3 else rd[-1],
@@ -400,9 +440,12 @@ class Refiner(nn.Module):
                 norm_epsilon=self.norm_epsilon,
                 linear_attn_duality=self.linear_attn_duality,
                 mixer_type=self.mixer_type,
+                layout="cl" if cl else "nhwc",
                 dtype=self.dtype,
                 name=f"refiner{i + 1}",
             )(x)
+        if cl:
+            x = jnp.moveaxis(x, 1, -1)
         return OutProj(
             self.out_channels, rd[-1], self.out_expand, self.instance_norm, name="out_proj"
         )(x, res)

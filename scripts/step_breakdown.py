@@ -172,6 +172,11 @@ def main():
     module_piece("block(d=32,256^2)",
                  Block(dim=32, out_dim=32, headdim=4, num_layers=1,
                        dtype=jnp.bfloat16), x32)
+    # the layout the Refiner actually runs at this grid (r5):
+    module_piece("block_cl(d=32,256^2)",
+                 Block(dim=32, out_dim=32, headdim=4, num_layers=1,
+                       layout="cl", dtype=jnp.bfloat16),
+                 jnp.moveaxis(x32, -1, 1))
 
     if want("refiner_full"):
         res = jnp.asarray(rng.uniform(0, 1, (B, 256, 256)), jnp.float32)

@@ -171,3 +171,58 @@ class TestADNSSDReferenceParity:
         np.testing.assert_allclose(y_cm, y_ref, rtol=1e-4, atol=1e-4)
         y_tm = np.asarray(tm.apply(variables, u)).reshape(2, H * W, D_MODEL)
         np.testing.assert_allclose(y_cm, y_tm, rtol=1e-5, atol=1e-5)
+
+
+class TestChannelMajorBlock:
+    """r5: the refiner's Blocks run END-TO-END channel-major (B, C, H, W)
+    — norms over axis 1, the mixer without boundary transposes, FFN convs
+    as channel einsums / fused shift-taps (models/adnm_unet.py Block
+    layout="cl"). Same parameter tree, same math as the NHWC path."""
+
+    def _mk(self, out_dim, layout):
+        from adnm_tpu.models.adnm_unet import Block
+
+        return Block(dim=8, out_dim=out_dim, headdim=4, num_layers=2,
+                     layout=layout)
+
+    @pytest.mark.parametrize("out_dim", [8, 4])
+    def test_block_cl_matches_nhwc(self, out_dim):
+        H = W = 8
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, H, W, 8))
+        bn = self._mk(out_dim, "nhwc")
+        bc = self._mk(out_dim, "cl")
+        v = bn.init(jax.random.PRNGKey(1), x)
+        vc = bc.init(jax.random.PRNGKey(1), jnp.moveaxis(x, -1, 1))
+        # identical parameter trees (layout is a pure execution choice)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vc)
+        for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(vc)):
+            assert a.shape == b.shape
+        y_n = bn.apply(v, x)
+        y_c = jnp.moveaxis(bc.apply(v, jnp.moveaxis(x, -1, 1)), 1, -1)
+        np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_n),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_refiner_channel_major_wiring(self):
+        """At L >= 16384 the Refiner switches to the channel-major Blocks
+        (one transpose in/out); output must equal the same-params
+        token-minor composition of its own Blocks + OutProj."""
+        from adnm_tpu.core.blocks import OutProj
+        from adnm_tpu.models.adnm_unet import Block, Refiner
+
+        H = W = 128  # L = 16384: exactly the channel-major threshold
+        B = 1
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, 8)) * 0.1
+        res = jax.random.uniform(jax.random.PRNGKey(1), (B, H, W))
+        ref = Refiner((8, 8, 8, 8), (1, 1, 1, 1), (4, 4, 4, 4), 2,
+                      (3, 2, 1), remat=False)
+        v = ref.init(jax.random.PRNGKey(2), x, res)
+        y_cl = ref.apply(v, x, res)
+        p = v["params"]
+        x2 = x
+        for i in range(4):
+            x2 = Block(dim=8, out_dim=8, headdim=4, num_layers=1,
+                       norm_epsilon=1e-5).apply(
+                {"params": p[f"refiner{i + 1}"]}, x2)
+        y_ref = OutProj(2, 8, 2, True).apply({"params": p["out_proj"]}, x2, res)
+        np.testing.assert_allclose(np.asarray(y_cl), np.asarray(y_ref),
+                                   rtol=2e-4, atol=2e-4)
