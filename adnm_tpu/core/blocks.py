@@ -24,6 +24,7 @@ from adnm_tpu.core.layers import (
     IntensityGate,
     Mlp,
     Swish,
+    gate_cast,
     scalar_param,
 )
 from adnm_tpu.core.wavelet import WTConvLayer
@@ -53,10 +54,13 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         res = x[..., -1]  # (B, H, W) last input frame
-        alpha1 = scalar_param(self, "alpha1", 1.0)
-        beta1 = scalar_param(self, "beta1", 1.0)
-        alpha2 = scalar_param(self, "alpha2", 1.0)
-        beta2 = scalar_param(self, "beta2", 1.0)
+        alpha1, beta1, alpha2, beta2 = gate_cast(
+            x,
+            scalar_param(self, "alpha1", 1.0),
+            scalar_param(self, "beta1", 1.0),
+            scalar_param(self, "alpha2", 1.0),
+            scalar_param(self, "beta2", 1.0),
+        )
 
         c1 = WTConvLayer(self.in_channels, self.kernel, 1, self.wt_levels, use_bias=False, act="gelu", name="conv1")(x)
         x = alpha1 * c1 + beta1 * x
@@ -70,7 +74,7 @@ class PatchEmbed(nn.Module):
             gamma = self.param(
                 "gamma", lambda _, s: jnp.full(s, self.ls_init_value, jnp.float32), (self.embed_dim,)
             )
-            x = x * gamma
+            x = x * gate_cast(x, gamma)
         return x, res
 
 
@@ -119,17 +123,20 @@ class WTLayer(nn.Module):
         residual: Optional[jax.Array] = None,
         features: Optional[jax.Array] = None,
     ) -> jax.Array:
-        gama1 = scalar_param(self, "gama1", 1.0)
-        gama2 = scalar_param(self, "gama2", 1.0)
-        gama3 = scalar_param(self, "gama3", 1.0)
+        gama1, gama2, gama3 = gate_cast(
+            x,
+            scalar_param(self, "gama1", 1.0),
+            scalar_param(self, "gama2", 1.0),
+            scalar_param(self, "gama3", 1.0),
+        )
         if residual is not None:
-            x = jnp.concatenate([gama1 * x, gama2 * residual], axis=-1)
+            x = jnp.concatenate([gama1 * x, gama2 * residual.astype(x.dtype)], axis=-1)
             # reference :408 computes a features-concat and discards it.
         elif features is not None:
-            x = x + gama3 * features
+            x = x + gama3 * features.astype(x.dtype)
 
-        alpha = scalar_param(self, "alpha", 1.0)
-        beta = scalar_param(self, "beta", 1.0)
+        alpha, beta = gate_cast(
+            x, scalar_param(self, "alpha", 1.0), scalar_param(self, "beta", 1.0))
         d = x.shape[-1]
         norm = _norm_name(self.instance_norm, groups=8 if self.if_res else 4)
         wt = WTConvLayer(d, self.kernel, 1, self.wt_levels, self.use_bias, norm=norm, name="wtconv")(x)
@@ -137,7 +144,7 @@ class WTLayer(nn.Module):
         x = Mlp(d, name="mlp")(x)
         if self.ls_init_value is not None:
             gamma = self.param("gamma", lambda _, s: jnp.full(s, self.ls_init_value, jnp.float32), (d,))
-            x = x * gamma
+            x = x * gate_cast(x, gamma)
         return ConvLayer(self.next_dim, 3, 1, 1, use_bias=True, act="gelu", name="conv")(x)
 
 
@@ -153,13 +160,16 @@ class LayerToLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, residual=None, features=None):
-        gama1 = scalar_param(self, "gama1", 1.0)
-        gama2 = scalar_param(self, "gama2", 1.0)
-        gama3 = scalar_param(self, "gama3", 1.0)
+        gama1, gama2, gama3 = gate_cast(
+            x,
+            scalar_param(self, "gama1", 1.0),
+            scalar_param(self, "gama2", 1.0),
+            scalar_param(self, "gama3", 1.0),
+        )
         if residual is not None:
-            x = jnp.concatenate([gama1 * x, gama2 * residual], axis=-1)
+            x = jnp.concatenate([gama1 * x, gama2 * residual.astype(x.dtype)], axis=-1)
         elif features is not None:
-            x = x + gama3 * features
+            x = x + gama3 * features.astype(x.dtype)
         norm = _norm_name(self.instance_norm, groups=8 if self.if_res else 4)
         return ConvLayer(self.next_dim, (3, 3), 1, (1, 1), use_bias=self.use_bias, norm=norm, act="gelu", name="conv")(x)
 
@@ -258,13 +268,16 @@ class EncoderToDecoder(nn.Module):
         x = maybe_shard(x, "data")
         res = maybe_shard(res, "data")
         d = self.embed_dim
-        gama = scalar_param(self, "gama", 1.0)
-        scale = scalar_param(self, "scale", 1.0)
-        shift = scalar_param(self, "shift", 0.0)
+        gama, scale, shift = gate_cast(
+            x,
+            scalar_param(self, "gama", 1.0),
+            scalar_param(self, "scale", 1.0),
+            scalar_param(self, "shift", 0.0),
+        )
         act_in = IntensityGate(name="act")
         from adnm_tpu.core.layers import _NORMS
 
-        x = act_in(x + gama * res)
+        x = act_in(x + gama * res.astype(x.dtype))
         x = scale * _NORMS[_norm_name(self.instance_norm)](d)(x) + shift
 
         am = jax.sharding.get_abstract_mesh()
@@ -315,12 +328,15 @@ class EncoderToDecoder(nn.Module):
         x33_conv = ConvLayer(d, (3, 3), (1, 1), (1, 1), groups=d // 4, act="gelu", name="conv33pool")(x33_pool)
         x3 = IntensityGate(name="act_func33")(ConvLayer(d, 1, 1, 0, groups=d, name="ffd33")(x * x33_conv))
 
-        alpha1 = scalar_param(self, "alpha1", 0.33)
-        alpha2 = scalar_param(self, "alpha2", 0.33)
-        alpha3 = scalar_param(self, "alpha3", 0.33)
+        alpha1, alpha2, alpha3 = gate_cast(
+            x1,
+            scalar_param(self, "alpha1", 0.33),
+            scalar_param(self, "alpha2", 0.33),
+            scalar_param(self, "alpha3", 0.33),
+        )
         x_pool = alpha1 * x1 + alpha2 * x2 + alpha3 * x3
         gamma = self.param("gamma", nn.initializers.ones, (d,), jnp.float32)
-        x_pool = x_pool * gamma
+        x_pool = x_pool * gate_cast(x_pool, gamma)
         x_pool = FeedForward(d, spatial_shard=False, name="ffd")(x_pool)
         return maybe_shard(ConvFFD(d, name="mlp")(x_pool), "data")
 
@@ -343,8 +359,8 @@ class OutProj(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, residual: Optional[jax.Array]) -> jax.Array:
         d = self.embed_dim
-        alpha = scalar_param(self, "alpha", 1.0)
-        beta = scalar_param(self, "beta", 1.0)
+        alpha, beta = gate_cast(
+            x, scalar_param(self, "alpha", 1.0), scalar_param(self, "beta", 1.0))
         shortcut = x
         # Reference hard-codes kernel 5 / wt_levels 3 here (:810-815).
         wt = WTConvLayer(
@@ -353,13 +369,13 @@ class OutProj(nn.Module):
         )(x)
         x = alpha * wt + beta * shortcut
         gamma = self.param("gamma", nn.initializers.ones, (d,), jnp.float32)
-        x = x * gamma
+        x = x * gate_cast(x, gamma)
         x = ConvLayer(d * self.out_expand, (3, 3), (1, 1), (1, 1), use_bias=False, act="gelu", name="conv_expand")(x)
         x = ConvLayer(self.num_frames, (1, 1), (1, 1), (0, 0), use_bias=False, act="gelu", name="conv_frames")(x)
         if residual is not None:
-            alpha1 = scalar_param(self, "alpha1", 1.0)
-            alpha2 = scalar_param(self, "alpha2", 1.0)
-            x = alpha1 * x + alpha2 * residual[..., None]  # broadcast last frame over T channels
+            alpha1, alpha2 = gate_cast(
+                x, scalar_param(self, "alpha1", 1.0), scalar_param(self, "alpha2", 1.0))
+            x = alpha1 * x + alpha2 * residual.astype(x.dtype)[..., None]  # broadcast last frame over T channels
         x = ConvLayer(
             self.num_frames, 3, 1, 1, use_bias=False,
             act_module=lambda: Swish(name="swish_act"), name="conv2",

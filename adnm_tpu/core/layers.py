@@ -28,6 +28,21 @@ def scalar_param(mdl: nn.Module, name: str, value: float) -> jax.Array:
     return mdl.param(name, lambda _: jnp.asarray(value, jnp.float32))
 
 
+def gate_cast(x: jax.Array, *ps: jax.Array):
+    """Cast learnable fp32 gate params (alpha/beta/gamma/scale/shift) to
+    the activation's dtype for their multiply/add sites.
+
+    Without this, ``f32_scalar * bf16_activation`` silently promotes the
+    ACTIVATION to f32 (JAX type promotion), and everything downstream of
+    every gate runs at 2x HBM bandwidth — the train-step profile showed
+    f32[4,128,256,256] FFN passes in a bf16-compute step. Params stay
+    fp32 (optimizer/checkpoints unchanged); under f32 compute this is a
+    no-op, so parity oracles are unaffected."""
+    dt = x.dtype
+    out = tuple(p.astype(dt) for p in ps)
+    return out if len(out) > 1 else out[0]
+
+
 def _norm_stats_cast(x: jax.Array) -> jax.Array:
     # Normalization statistics in fp32 even under bf16 compute.
     return x.astype(jnp.float32)
@@ -176,7 +191,7 @@ class Swish(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        beta = scalar_param(self, "beta", self.beta_init)
+        beta = gate_cast(x, scalar_param(self, "beta", self.beta_init))
         return x * jax.nn.sigmoid(beta * x)
 
 
@@ -188,8 +203,11 @@ class IntensityGate(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        threshold = scalar_param(self, "threshold", self.threshold_init)
-        enhance = scalar_param(self, "enhance", 1.0)
+        threshold, enhance = gate_cast(
+            x,
+            scalar_param(self, "threshold", self.threshold_init),
+            scalar_param(self, "enhance", 1.0),
+        )
         return jax.nn.silu(enhance * (x - threshold))
 
 
@@ -554,8 +572,8 @@ class ConvLayer(nn.Module):
             self.groups, self.use_bias, self.dtype, name="conv",
         )(x)
         if self.norm is not None:
-            scale = scalar_param(self, "scale", 1.0)
-            shift = scalar_param(self, "shift", 0.0)
+            scale, shift = gate_cast(
+                x, scalar_param(self, "scale", 1.0), scalar_param(self, "shift", 0.0))
             x = scale * _NORMS[self.norm](self.features)(x) + shift
         if self.act_module is not None:
             x = self.act_module()(x)
@@ -588,8 +606,8 @@ class DeConvLayer(nn.Module):
             self.groups, self.use_bias, self.dtype, name="trans_conv",
         )(x)
         if self.norm is not None:
-            scale = scalar_param(self, "scale", 1.0)
-            shift = scalar_param(self, "shift", 0.0)
+            scale, shift = gate_cast(
+                x, scalar_param(self, "scale", 1.0), scalar_param(self, "shift", 0.0))
             x = scale * _NORMS[self.norm](self.features)(x) + shift
         if self.act is not None:
             x = _ACTS[self.act](x)

@@ -26,6 +26,7 @@ from adnm_tpu.core.layers import (
     Conv2d,
     _ACTS,
     _NORMS,
+    gate_cast,
     _grouped_conv_native,
     _resolve_pads,
     grouped_conv,
@@ -204,7 +205,7 @@ class WTConv2d(nn.Module):
                 lambda _, shape: jnp.full(shape, 0.1, jnp.float32),
                 (c * 4,),
             )
-            flat = flat * wscale[jnp.asarray(perm)]
+            flat = flat * gate_cast(flat, wscale)[jnp.asarray(perm)]
             lls.append(flat[..., :c])
             highs.append(flat[..., c:])
 
@@ -218,7 +219,7 @@ class WTConv2d(nn.Module):
 
         base = Conv2d(c, self.kernel_size, 1, "same", groups=c, use_bias=self.use_bias, name="base_conv")(x)
         bscale = self.param("base_scale", nn.initializers.ones, (c,), jnp.float32)
-        out = base * bscale + next_ll
+        out = base * gate_cast(base, bscale) + next_ll
         if self.stride > 1:
             out = out[:, :: self.stride, :: self.stride, :]
         return out
@@ -240,8 +241,8 @@ class WTConvLayer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = WTConv2d(self.channels, self.kernel_size, self.stride, self.use_bias, self.wt_levels, name="conv")(x)
         if self.norm is not None:
-            scale = scalar_param(self, "scale", 1.0)
-            shift = scalar_param(self, "shift", 0.0)
+            scale, shift = gate_cast(
+                x, scalar_param(self, "scale", 1.0), scalar_param(self, "shift", 0.0))
             x = scale * _NORMS[self.norm](self.channels)(x) + shift
         if self.act is not None:
             x = _ACTS[self.act](x)

@@ -268,9 +268,9 @@ class ADNSSDMixer(nn.Module):
 
         zxbcdt = dense(p["in_proj"], u)
         z, xBC, dt = jnp.split(zxbcdt, [d_inner, 2 * d_inner + 2 * gN], axis=-1)
-        dt = jax.nn.softplus(dt + p["dt_bias"])  # (B, H, W, nheads)
-        A = -jnp.exp(p["A_log"])
-        D = p["D"]
+        dt = jax.nn.softplus(dt + p["dt_bias"]).astype(dtype)  # (B, H, W, nheads)
+        A = (-jnp.exp(p["A_log"])).astype(dtype)
+        D = p["D"].astype(dtype)
 
         # --- dual path (contiguous halves; see module docstring) -------
         xBC1, xBC2 = xBC[..., :half], xBC[..., half:]
@@ -352,7 +352,8 @@ class ADNSSDMixer(nn.Module):
 
         y = self._ln(p["norm"], y)
         z = to_seq(z)
-        y = jnp.concatenate([p["alpha1"] * y, p["alpha1"] * z], axis=-1)
+        a1 = p["alpha1"].astype(y.dtype)
+        y = jnp.concatenate([a1 * y, a1 * z.astype(y.dtype)], axis=-1)
         out = dense(p["out_proj"], y)
         return out.reshape(b, h, w, self.d_model)
 
@@ -397,9 +398,9 @@ class ADNSSDMixer(nn.Module):
         z = zxbcdt[:, :d_inner]
         xBC = zxbcdt[:, d_inner: d_inner + conv_dim]
         dt = zxbcdt[:, d_inner + conv_dim:]
-        dt = jax.nn.softplus(dt + p["dt_bias"][None, :, None])  # (B, nheads, L)
-        A = -jnp.exp(p["A_log"])
-        D = p["D"]
+        dt = jax.nn.softplus(dt + p["dt_bias"][None, :, None]).astype(dtype)  # (B, nheads, L)
+        A = (-jnp.exp(p["A_log"])).astype(dtype)
+        D = p["D"].astype(dtype)
 
         def dw(px, x_cl, c):
             k, bias = px
@@ -480,7 +481,8 @@ class ADNSSDMixer(nn.Module):
         y = ((yf - mu) * jax.lax.rsqrt(var + 1e-5) * scale[None, :, None]
              + bias[None, :, None]).astype(dtype)
 
-        y = jnp.concatenate([p["alpha1"] * y, p["alpha1"] * z], axis=1)
+        a1 = p["alpha1"].astype(y.dtype)
+        y = jnp.concatenate([a1 * y, a1 * z.astype(y.dtype)], axis=1)
         k_out, b_out = p["out_proj"]
         out = jnp.einsum(
             "cd,bcl->bdl", k_out.astype(dtype), y, preferred_element_type=dtype

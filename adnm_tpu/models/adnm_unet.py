@@ -43,6 +43,7 @@ from adnm_tpu.core.layers import (
     FeedForward,
     Mlp,
     RMSNorm,
+    gate_cast,
     scalar_param,
 )
 from adnm_tpu.mixers.attention import StandardAttention
@@ -109,12 +110,16 @@ class Block(nn.Module):
         self.param("beta3", nn.initializers.ones, (self.num_layers,), jnp.float32)
         self.param("beta4", nn.initializers.ones, (self.num_layers,), jnp.float32)
 
+        alpha1, alpha2, alpha3, alpha4, beta1, beta2 = gate_cast(
+            x, alpha1, alpha2, alpha3, alpha4, beta1, beta2)
         if residual is not None:
-            x = jnp.concatenate([alpha1 * x, alpha2 * residual], axis=cax)
+            x = jnp.concatenate(
+                [alpha1 * x, alpha2 * residual.astype(x.dtype)], axis=cax)
             if features is not None:
-                x = x + jnp.concatenate([alpha3 * features, alpha4 * features], axis=cax)
+                f = features.astype(x.dtype)
+                x = x + jnp.concatenate([alpha3 * f, alpha4 * f], axis=cax)
         elif features is not None:
-            x = x + alpha3 * features
+            x = x + alpha3 * features.astype(x.dtype)
 
         d = x.shape[cax]
         if cl:
@@ -122,10 +127,13 @@ class Block(nn.Module):
                 "layout='cl' supports the duality ADNSSD mixer only"
             )
         for i in range(self.num_layers):
-            scale1 = scalar_param(self, f"scale1_{i}", 1.0)
-            shift1 = scalar_param(self, f"shift1_{i}", 0.0)
-            scale2 = scalar_param(self, f"scale2_{i}", 1.0)
-            shift2 = scalar_param(self, f"shift2_{i}", 0.0)
+            scale1, shift1, scale2, shift2 = gate_cast(
+                x,
+                scalar_param(self, f"scale1_{i}", 1.0),
+                scalar_param(self, f"shift1_{i}", 0.0),
+                scalar_param(self, f"scale2_{i}", 1.0),
+                scalar_param(self, f"shift2_{i}", 0.0),
+            )
             x_norm = scale1 * RMSNorm(d, self.norm_epsilon, axis=cax, name=f"norm1_{i}")(x) + shift1
             mixer_cls = ADNSSDMixer
             if self.mixer_type == "vssd":
@@ -146,7 +154,7 @@ class Block(nn.Module):
                               layout=self.layout, name=f"ffn_{i}")
             x = beta1[i] * x + beta2[i] * ffn(x_norm)
 
-        gamma = self.param("gamma", nn.initializers.ones, (d,), jnp.float32)
+        gamma = gate_cast(x, self.param("gamma", nn.initializers.ones, (d,), jnp.float32))
         x = x * (gamma[:, None, None] if cl else gamma)
         if self.dim != self.out_dim:
             if cl:
@@ -195,19 +203,26 @@ class AttentionBlock(nn.Module):
         beta3 = scalar_param(self, "beta3", 1.0)
         beta4 = scalar_param(self, "beta4", 1.0)
 
+        alpha1, alpha2, alpha3, alpha4, beta1, beta2, beta3, beta4 = gate_cast(
+            x, alpha1, alpha2, alpha3, alpha4, beta1, beta2, beta3, beta4)
         if residual is not None:
-            x = jnp.concatenate([alpha1 * x, alpha2 * residual], axis=-1)
+            x = jnp.concatenate(
+                [alpha1 * x, alpha2 * residual.astype(x.dtype)], axis=-1)
             if features is not None:
-                x = x + jnp.concatenate([alpha3 * features, alpha4 * features], axis=-1)
+                f = features.astype(x.dtype)
+                x = x + jnp.concatenate([alpha3 * f, alpha4 * f], axis=-1)
         elif features is not None:
-            x = x + alpha3 * features
+            x = x + alpha3 * features.astype(x.dtype)
 
         b, h, w, d = x.shape
         xs = x.reshape(b, h * w, d)
-        scale1 = scalar_param(self, "attn_scale1", 1.0)
-        shift1 = scalar_param(self, "attn_shift1", 0.0)
-        scale2 = scalar_param(self, "attn_scale2", 1.0)
-        shift2 = scalar_param(self, "attn_shift2", 0.0)
+        scale1, shift1, scale2, shift2 = gate_cast(
+            xs,
+            scalar_param(self, "attn_scale1", 1.0),
+            scalar_param(self, "attn_shift1", 0.0),
+            scalar_param(self, "attn_scale2", 1.0),
+            scalar_param(self, "attn_shift2", 0.0),
+        )
         x_norm = scale1 * BiasFreeLayerNorm(d, name="attn_norm1")(xs) + shift1
         if self.attn_type == "mla":
             from adnm_tpu.mixers.attention import MLA, generate_mla_config
@@ -220,7 +235,7 @@ class AttentionBlock(nn.Module):
         xs = beta1 * xs + beta2 * attn(x_norm)
         x_norm = scale2 * BiasFreeLayerNorm(d, name="attn_norm2")(xs) + shift2
         xs = beta3 * xs + beta4 * Mlp(d, dtype=self.dtype, name="attn_mlp")(x_norm)
-        gamma = self.param("gamma", nn.initializers.ones, (d,), jnp.float32)
+        gamma = gate_cast(xs, self.param("gamma", nn.initializers.ones, (d,), jnp.float32))
         xs = xs * gamma
         if d != out_dim:
             from adnm_tpu.core.layers import Dense

@@ -80,12 +80,15 @@ def build(piece: str, batch: int):
         b = jnp.asarray(rng.uniform(0, 1, (batch, 25, 1, 256, 256)), jnp.float32)
         lr, clip = jnp.float32(1e-3), jnp.float32(0.025)
 
-        st = {"st": trainer.state}
+        # thread the donated state through successive calls
+        holder = {"st": trainer.state}
 
-        def fn(state, bb):
-            return trainer._train_step(state, bb, lr, clip)
+        def fn(bb):
+            holder["st"], loss, gn = trainer._train_step(
+                holder["st"], bb, lr, clip)
+            return loss
 
-        args = (trainer.state, b)
+        args = (b,)
     else:
         raise SystemExit(f"unknown piece {piece}")
     return fn, args
